@@ -1,0 +1,71 @@
+"""Headline benchmark: time-to-logZ on the 3D correlated Gaussian.
+
+The reference's quickstart problem (reference: docs/guides/quickstart.rst):
+3D correlated Gaussian, n_live=1000, run to the default n_eff=10000.
+Prints ONE JSON line with the wall time and the speedup over the reference
+implementation measured on this machine.
+
+Baseline: johannesulf/nautilus (pure Python/sklearn) on the same host CPU,
+same problem, n_live=1000, seed 0, vectorized likelihood:
+20.49 s wall, 18700 likelihood calls, logZ=-0.003, n_eff=10012
+(measured 2026-08-17 via /root/reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+from nautilus_tpu import Prior, Sampler  # noqa: E402
+
+REFERENCE_SECONDS = 20.49
+
+
+def main():
+    n_dim = 3
+    cov = 0.01 * (0.1 * np.eye(n_dim) + 0.9 * np.ones((n_dim, n_dim)))
+    cov_inv = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    log_norm = float(-0.5 * (n_dim * np.log(2 * np.pi) +
+                             np.linalg.slogdet(cov)[1]))
+
+    def likelihood(x):
+        xc = x - 0.5
+        return log_norm - 0.5 * jnp.einsum(
+            '...i,ij,...j->...', xc, cov_inv, xc)
+
+    prior = Prior()
+    for key in 'abc':
+        prior.add_parameter(key)
+
+    sampler = Sampler(prior, likelihood, n_live=1000, seed=0,
+                      vectorized='jax')
+    t_start = time.time()
+    success = sampler.run()
+    elapsed = time.time() - t_start
+
+    print('success={} logZ={:.4f} n_eff={:.0f} n_like={} '
+          'evals_per_sec={:.0f} platform={}'.format(
+              success, sampler.log_z, sampler.n_eff, sampler.n_like,
+              sampler.n_like / elapsed, jax.devices()[0].platform),
+          file=sys.stderr)
+
+    print(json.dumps({
+        'metric': 'time_to_logz_3d_gaussian_nlive1000_neff10k',
+        'value': round(elapsed, 2),
+        'unit': 's',
+        'vs_baseline': round(REFERENCE_SECONDS / elapsed, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,314 @@
+"""The NautilusBound: union of neural bounds inside a multi-ellipsoid
+envelope.
+
+API-parity analogue of the reference bound built every sampler iteration
+(reference: nautilus/bounds/nautilus.py). Mode finding and the split/trim
+recursion stay as host control flow; sampling runs through one fused device
+kernel that draws outer-union candidates and applies the neural rejection
+for the whole batch at once (see :mod:`nautilus_tpu.ops.neural_stack`).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry as G
+from ..ops.mlp import MLPParams
+from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
+    neural_contains_any
+from ..utils.bucket import bucket_size
+from ..utils.keys import KeyStream
+from .basic import Ellipsoid, UnitCubeEllipsoidMixture
+from .neural import NeuralBound
+from .periodic import PhaseShift
+from .union import Union
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _nautilus_sample_jit(outer_stacked, outer_mask, stack, key, n_points):
+    return nautilus_sample_batch(outer_stacked, outer_mask, stack, key,
+                                 n_points)
+
+
+@jax.jit
+def _neural_contains_jit(stack, points):
+    return neural_contains_any(stack, points)
+
+
+class NautilusBound:
+    """Union of non-overlapping neural bounds cut to a sampling envelope."""
+
+    SAMPLE_BATCH = 1024
+
+    def __init__(self):
+        self.n_dim = None
+        self.shift = None
+        self.neural_bounds = []
+        self.outer_bound = None
+        self.points = None
+        self.n_sample = 0
+        self.n_reject = 0
+        self.keys = None
+        self._stack_cache = None
+
+    @classmethod
+    def compute(cls, points, log_l, log_l_min, log_v_target,
+                enlarge_per_dim=1.1, n_points_min=None, split_threshold=100,
+                periodic=None, n_networks=4, neural_network_kwargs=None,
+                keys=None):
+        """Build the bound from the current point set.
+
+        Reference: nautilus/bounds/nautilus.py:39-144.
+        """
+        points = np.asarray(points)
+        log_l = np.asarray(log_l)
+        bound = cls()
+        bound.n_dim = points.shape[1]
+        bound.keys = keys if keys is not None else KeyStream()
+
+        if periodic is not None:
+            bound.shift = PhaseShift.compute(
+                points[log_l >= log_l_min], periodic)
+            points = bound.shift.transform(points)
+        else:
+            bound.shift = None
+
+        # Mode finding: split a union of plain ellipsoids while splits keep
+        # the members non-overlapping.
+        multi_ellipsoid = Union.compute(
+            points[log_l >= log_l_min], enlarge_per_dim=enlarge_per_dim,
+            n_points_min=n_points_min, bound_class=Ellipsoid,
+            keys=bound.keys)
+        while multi_ellipsoid.split(allow_overlap=False):
+            pass
+
+        bound.neural_bounds = []
+        for params in multi_ellipsoid.params_list:
+            mode_ell = Ellipsoid()
+            mode_ell.n_dim = bound.n_dim
+            mode_ell.params = params
+            mode_ell.keys = bound.keys
+            select = mode_ell.contains(points)
+            bound.neural_bounds.append(NeuralBound.compute(
+                points[select], log_l[select], log_l_min,
+                enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
+                neural_network_kwargs=neural_network_kwargs,
+                keys=bound.keys))
+
+        # Outer sampling envelope: a union of cube-ellipsoid mixtures, split
+        # until close to the target volume, then trimmed.
+        bound.outer_bound = Union.compute(
+            points[log_l >= log_l_min], enlarge_per_dim=enlarge_per_dim,
+            n_points_min=n_points_min, bound_class=UnitCubeEllipsoidMixture,
+            keys=bound.keys)
+
+        log_v_threshold = np.log(
+            split_threshold * enlarge_per_dim ** points.shape[1])
+        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+            if not bound.outer_bound.split():
+                break
+        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+            if not bound.outer_bound.trim():
+                break
+
+        bound.points = np.zeros((0, points.shape[1]))
+        bound.n_sample = 0
+        bound.n_reject = 0
+        return bound
+
+    # ------------------------------------------------------------------ #
+
+    def _stack(self):
+        """Stacked neural-bound pytree for the fused kernels."""
+        if self._stack_cache is None:
+            modes = self.neural_bounds
+            m = len(modes)
+            m_pad = bucket_size(m, floor=2)
+            d = self.n_dim
+
+            ell_list = [nb.outer_bound.params for nb in modes]
+            ell_stacked, mode_mask = G.stack_ell_params(ell_list, m_pad)
+
+            has_any_net = any(nb.emulator is not None for nb in modes)
+            if has_any_net:
+                ref = next(nb.emulator for nb in modes
+                           if nb.emulator is not None)
+                n_layers = len(ref.params.weights)
+                e = ref.n_networks
+                means, scales, cuts, has_nets = [], [], [], []
+                weights = [[] for _ in range(n_layers)]
+                biases = [[] for _ in range(n_layers)]
+                for nb in modes:
+                    emu = nb.emulator
+                    if emu is not None:
+                        means.append(np.asarray(emu.mean))
+                        scales.append(np.asarray(emu.scale))
+                        cuts.append(nb.score_predict_min)
+                        has_nets.append(True)
+                        for k in range(n_layers):
+                            weights[k].append(np.asarray(
+                                emu.params.weights[k]))
+                            biases[k].append(np.asarray(
+                                emu.params.biases[k]))
+                    else:
+                        means.append(np.zeros(d))
+                        scales.append(np.ones(d))
+                        cuts.append(0.0)
+                        has_nets.append(False)
+                        for k in range(n_layers):
+                            weights[k].append(np.zeros_like(
+                                np.asarray(ref.params.weights[k])))
+                            biases[k].append(np.zeros_like(
+                                np.asarray(ref.params.biases[k])))
+                # Pad to m_pad with dummies.
+                for _ in range(m_pad - m):
+                    means.append(np.zeros(d))
+                    scales.append(np.ones(d))
+                    cuts.append(0.0)
+                    has_nets.append(False)
+                    for k in range(n_layers):
+                        weights[k].append(np.zeros_like(
+                            np.asarray(ref.params.weights[k])))
+                        biases[k].append(np.zeros_like(
+                            np.asarray(ref.params.biases[k])))
+                w_stacked = tuple(
+                    jnp.asarray(np.stack(wk), jnp.float32) for wk in weights)
+                b_stacked = tuple(
+                    jnp.asarray(np.stack(bk), jnp.float32) for bk in biases)
+                mean_arr = jnp.asarray(np.stack(means), jnp.float32)
+                scale_arr = jnp.asarray(np.stack(scales), jnp.float32)
+            else:
+                # No emulators at all (n_networks=0): dummy single-layer net.
+                w_stacked = (jnp.zeros((m_pad, 1, d, 1), jnp.float32),)
+                b_stacked = (jnp.zeros((m_pad, 1, 1), jnp.float32),)
+                mean_arr = jnp.zeros((m_pad, d), jnp.float32)
+                scale_arr = jnp.ones((m_pad, d), jnp.float32)
+                cuts = [0.0] * m_pad
+                has_nets = [False] * m_pad
+
+            if len(cuts) < m_pad:
+                cuts += [0.0] * (m_pad - len(cuts))
+                has_nets += [False] * (m_pad - len(has_nets))
+
+            self._stack_cache = NeuralStack(
+                ell=ell_stacked,
+                mean=mean_arr, scale=scale_arr,
+                weights=w_stacked, biases=b_stacked,
+                cut=jnp.asarray(np.asarray(cuts), jnp.float32),
+                has_net=jnp.asarray(np.asarray(has_nets), bool),
+                mode_mask=mode_mask)
+        return self._stack_cache
+
+    def contains(self, points):
+        single = np.asarray(points).ndim == 1
+        points = np.atleast_2d(np.asarray(points, np.float64))
+        if self.shift is not None:
+            points = self.shift.transform(points)
+        pts = jnp.asarray(points, jnp.float32)
+        stacked, member_mask = self.outer_bound._stacked()
+        in_bound = np.array(G.union_contains(stacked, member_mask, pts))
+        if len(self.neural_bounds) > 0:
+            in_bound &= np.asarray(_neural_contains_jit(self._stack(), pts))
+        return in_bound[0] if single else in_bound
+
+    def sample(self, n_points=100, return_points=True, pool=None):
+        """Draw points from the bound via the fused rejection kernel.
+
+        The ``pool`` argument is accepted for API compatibility but unused:
+        batched device sampling replaces the reference's process-pool path
+        (reference: nautilus/bounds/nautilus.py:223-237).
+        """
+        while len(self.points) < n_points:
+            stacked, member_mask = self.outer_bound._stacked()
+            pts, outer_accept, neural_accept = _nautilus_sample_jit(
+                stacked, member_mask, self._stack(), self.keys.next(),
+                self.SAMPLE_BATCH)
+            outer_accept = np.asarray(outer_accept)
+            neural_accept = np.asarray(neural_accept)
+            n_delivered = int(np.sum(outer_accept))
+            n_kept = int(np.sum(neural_accept))
+            self.outer_bound.n_sample += self.SAMPLE_BATCH
+            self.outer_bound.n_reject += self.SAMPLE_BATCH - n_delivered
+            self.n_sample += n_delivered
+            self.n_reject += n_delivered - n_kept
+            accepted = np.asarray(pts, np.float64)[neural_accept]
+            self.points = np.vstack([self.points, accepted])
+
+        if return_points:
+            points = self.points[:n_points]
+            self.points = self.points[n_points:]
+            if self.shift is not None:
+                points = self.shift.transform(points, inverse=True)
+            return points
+
+    @property
+    def log_v(self):
+        if self.n_sample == 0:
+            self.sample(return_points=False)
+        return float(self.outer_bound.log_v +
+                     np.log(1.0 - self.n_reject / self.n_sample))
+
+    @property
+    def n_ell(self):
+        return int(np.sum([
+            np.any(~np.asarray(p.dim_cube))
+            for p in self.outer_bound.params_list]))
+
+    @property
+    def n_net(self):
+        if self.neural_bounds and self.neural_bounds[0].emulator is not None:
+            return len(self.neural_bounds) * \
+                self.neural_bounds[0].emulator.n_networks
+        return 0
+
+    # ------------------------------------------------------------------ #
+
+    def write(self, group):
+        group.attrs['type'] = 'NautilusBound'
+        group.attrs['n_dim'] = self.n_dim
+        if self.shift is not None:
+            self.shift.write(group.create_group('shift'))
+        group.attrs['n_neural_bounds'] = len(self.neural_bounds)
+        for i, nb in enumerate(self.neural_bounds):
+            nb.write(group.create_group('neural_bound_{}'.format(i)))
+        self.outer_bound.write(group.create_group('outer_bound'))
+        group.create_dataset('points', data=self.points,
+                             maxshape=(None, self.n_dim))
+        group.attrs['n_sample'] = self.n_sample
+        group.attrs['n_reject'] = self.n_reject
+
+    def update(self, group):
+        group.attrs['n_sample'] = self.n_sample
+        group.attrs['n_reject'] = self.n_reject
+        self.outer_bound.update(group['outer_bound'])
+        group['points'].resize(self.points.shape)
+        group['points'][...] = self.points
+
+    @classmethod
+    def read(cls, group, keys=None):
+        bound = cls()
+        bound.keys = keys if keys is not None else KeyStream()
+        bound.n_dim = int(group.attrs['n_dim'])
+        if 'shift' in group:
+            bound.shift = PhaseShift.read(group['shift'])
+        else:
+            bound.shift = None
+        bound.neural_bounds = []
+        for i in range(int(group.attrs['n_neural_bounds'])):
+            bound.neural_bounds.append(NeuralBound.read(
+                group['neural_bound_{}'.format(i)], keys=bound.keys))
+        bound.outer_bound = Union.read(group['outer_bound'], keys=bound.keys)
+        bound.points = np.array(group['points'])
+        bound.n_sample = int(group.attrs['n_sample'])
+        bound.n_reject = int(group.attrs['n_reject'])
+        return bound
+
+    def reset(self, keys=None):
+        self.points = np.zeros((0, self.n_dim))
+        self.n_sample = 0
+        self.n_reject = 0
+        if keys is not None:
+            self.keys = keys
+        self.outer_bound.reset(keys)

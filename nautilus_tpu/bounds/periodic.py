@@ -1,0 +1,50 @@
+"""Phase shift for periodic parameters.
+
+Reference: nautilus/bounds/periodic.py. Shifts each periodic dimension so
+the largest gap between points straddles the 0/1 boundary, keeping clusters
+contiguous inside the unit cube.
+"""
+
+import numpy as np
+
+
+class PhaseShift:
+    """Mod-1 shift of periodic dimensions toward cluster centers."""
+
+    def __init__(self):
+        self.periodic = None
+        self.centers = None
+
+    @classmethod
+    def compute(cls, points, periodic):
+        shift = cls()
+        shift.periodic = np.asarray(periodic, int)
+        shift.centers = np.zeros(len(shift.periodic))
+
+        for i, dim in enumerate(shift.periodic):
+            x = np.sort(points[:, dim])
+            gaps = np.append(np.diff(x), x[0] - (x[-1] - 1))
+            j = np.argmax(gaps)
+            shift.centers[i] = (x[j] + gaps[j] / 2.0 + 0.5) % 1
+
+        return shift
+
+    def transform(self, points, inverse=False):
+        points_t = np.copy(np.asarray(points, np.float64))
+        sign = -1 if inverse else +1
+        for i, dim in enumerate(self.periodic):
+            points_t[..., dim] = (
+                points_t[..., dim] + sign * (0.5 - self.centers[i])) % 1
+        return points_t
+
+    def write(self, group):
+        group.attrs['type'] = 'PhaseShift'
+        group.attrs['periodic'] = self.periodic
+        group.attrs['centers'] = self.centers
+
+    @classmethod
+    def read(cls, group, keys=None):
+        shift = cls()
+        shift.periodic = np.asarray(group.attrs['periodic'], int)
+        shift.centers = np.asarray(group.attrs['centers'])
+        return shift

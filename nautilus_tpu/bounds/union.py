@@ -1,0 +1,327 @@
+"""Union of ellipsoids / cube-ellipsoid mixtures (TPU-native).
+
+API-parity analogue of the reference Union bound (reference:
+nautilus/bounds/union.py). Member geometry is stored as a list of
+:class:`EllParams` pytrees and stacked (padded to a bucket size) into one
+leading-axis pytree, so ``contains`` and the rejection-sampling step run as
+single fused XLA computations. The split/trim control recursion stays on
+host, exactly like the reference's.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import minimize_scalar
+from scipy.special import logsumexp
+
+from ..ops import geometry as G
+from ..ops.gmm import fit_gmm2
+from ..utils.bucket import bucket_size, pad_points
+from ..utils.keys import KeyStream
+from .basic import Ellipsoid, UnitCubeEllipsoidMixture, _fit_ellipsoid_jit, \
+    _ell_transform_jit
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _union_sample_jit(stacked, member_mask, key, n_points, unit):
+    return G.union_sample_batch(stacked, member_mask, key, n_points,
+                                unit=unit)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _union_contains_jit(stacked, member_mask, points, unit):
+    return G.union_contains(stacked, member_mask, points, unit=unit)
+
+
+def ellipsoids_overlap(params_list):
+    """Whether any pair of ellipsoids overlaps.
+
+    Exact pairwise test via the K-function of
+    ieeexplore.ieee.org/document/6289830, as in the reference (reference:
+    nautilus/bounds/union.py:14-40). Host-side: the number of modes is tiny.
+    """
+    cs = [np.asarray(p.c, np.float64) for p in params_list]
+    a_invs = [np.asarray(p.B @ p.B.T, np.float64) for p in params_list]
+
+    n = len(cs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = cs[i] - cs[j]
+
+            def k(s):
+                m = a_invs[i] / (1 - s) + a_invs[j] / s
+                return 1 - d @ np.linalg.solve(m, d)
+
+            result = minimize_scalar(
+                k, bounds=(1e-9, 1 - 1e-9), method='bounded')
+            if result.fun > 0:
+                return True
+    return False
+
+
+class Union:
+    r"""Union of possibly-overlapping bounds restricted to the unit cube.
+
+    Reference: nautilus/bounds/union.py:43-450.
+    """
+
+    SAMPLE_BATCH = 1024
+
+    def __init__(self):
+        self.n_dim = None
+        self.enlarge_per_dim = None
+        self.n_points_min = None
+        self.unit = True
+        self.bound_class = Ellipsoid
+        self.params_list = []
+        self.points_bounds = []
+        self.log_v_all = np.zeros(0)
+        self.block = np.zeros(0, dtype=bool)
+        self.points = None
+        self.n_sample = 0
+        self.n_reject = 0
+        self.keys = None
+        self._stacked_cache = None
+
+    @classmethod
+    def compute(cls, points, enlarge_per_dim=1.1, n_points_min=None,
+                unit=True, bound_class=Ellipsoid, keys=None):
+        points = np.asarray(points)
+        bound = cls()
+        bound.n_dim = points.shape[1]
+        bound.enlarge_per_dim = float(enlarge_per_dim)
+        bound.unit = unit
+        bound.bound_class = bound_class
+        bound.keys = keys if keys is not None else KeyStream()
+
+        if n_points_min is None:
+            bound.n_points_min = bound.n_dim + 1
+        else:
+            if n_points_min < bound.n_dim + 1:
+                raise ValueError('The number of points per bound must be ' +
+                                 'larger than the number of dimensions.')
+            bound.n_points_min = int(n_points_min)
+
+        bound.points_bounds = [points]
+        bound.params_list = [bound._fit_member(points)]
+        bound._refresh_bookkeeping()
+        bound.block = np.atleast_1d(len(points) < 2 * bound.n_points_min)
+        bound.points = np.zeros((0, bound.n_dim))
+        return bound
+
+    # ------------------------------------------------------------------ #
+    # fitting helpers
+
+    def _fit_member(self, points):
+        """Fit one member bound and return its EllParams."""
+        if self.bound_class is Ellipsoid:
+            pts, mask = pad_points(points)
+            dim_mask = jnp.ones(self.n_dim, bool)
+            return _fit_ellipsoid_jit(
+                pts, mask, dim_mask, self.enlarge_per_dim)
+        member = UnitCubeEllipsoidMixture.compute(
+            points, enlarge_per_dim=self.enlarge_per_dim, keys=self.keys)
+        return member.params
+
+    def _refresh_bookkeeping(self):
+        # A member's total log volume equals its ellipsoid-part log volume:
+        # cube-bounded dims contribute a factor of one.
+        self.log_v_all = np.array([float(p.log_v) for p in self.params_list])
+        self._stacked_cache = None
+
+    def _stacked(self):
+        if self._stacked_cache is None:
+            k_pad = bucket_size(len(self.params_list), floor=4)
+            self._stacked_cache = G.stack_ell_params(self.params_list, k_pad)
+        return self._stacked_cache
+
+    # ------------------------------------------------------------------ #
+    # splitting / trimming (host control, device kernels)
+
+    def split(self, allow_overlap=True):
+        """Split the largest unblocked member via a 2-component GMM.
+
+        Reference: nautilus/bounds/union.py:153-229.
+        """
+        if not allow_overlap and self.bound_class is not Ellipsoid:
+            raise ValueError("'allow_overlap' can only be False if " +
+                             "bounds are ellipsoids.")
+
+        if not np.any(~self.block):
+            return False
+
+        index = int(np.argmax(np.where(~self.block, self.log_v_all, -np.inf)))
+        points = self.points_bounds[index]
+        pts_t = np.asarray(_ell_transform_jit(
+            self.params_list[index], jnp.asarray(points, jnp.float32)))
+
+        pts_pad, mask = pad_points(pts_t)
+        log_p = np.asarray(fit_gmm2(pts_pad, mask, self.keys.next()))
+        log_p = log_p[:len(points)]
+        labels = np.argmax(log_p, axis=1)
+
+        # Re-assign points to the smaller cluster if it is too small.
+        counts = np.bincount(labels, minlength=2)
+        if not np.all(counts >= self.n_points_min):
+            label = int(np.argmin(counts))
+            labels[np.argsort(-log_p[:, label])[:self.n_points_min]] = label
+
+        new_params = [
+            self._fit_member(points[labels == label]) for label in [0, 1]]
+
+        if not allow_overlap and ellipsoids_overlap(
+                self.params_list[:index] + self.params_list[index + 1:] +
+                new_params):
+            return False
+
+        log_v_new = [float(p.log_v) for p in new_params]
+        if logsumexp(log_v_new) > self.log_v_all[index]:
+            self.block[index] = True
+            return self.split(allow_overlap=allow_overlap)
+
+        self.points_bounds.pop(index)
+        self.points_bounds.append(points[labels == 0])
+        self.points_bounds.append(points[labels == 1])
+        self.params_list.pop(index)
+        self.params_list.extend(new_params)
+        self.block = np.concatenate(
+            (np.delete(self.block, index),
+             [len(self.points_bounds[-2]) < 2 * self.n_points_min,
+              len(self.points_bounds[-1]) < 2 * self.n_points_min]))
+        self._refresh_bookkeeping()
+        self.reset()
+        return True
+
+    def trim(self, threshold=1e3):
+        """Drop the lowest-density member if it is an extreme outlier.
+
+        Reference: nautilus/bounds/union.py:231-267.
+        """
+        if len(self.params_list) == 1:
+            return False
+
+        log_n = np.log([len(points) for points in self.points_bounds])
+        log_r = log_n - self.log_v_all
+        index = int(np.argmin(log_r))
+
+        if log_r[index] - np.median(np.delete(log_r, index)) < -np.log(
+                threshold):
+            self.points_bounds.pop(index)
+            self.params_list.pop(index)
+            self.block = np.delete(self.block, index)
+            self._refresh_bookkeeping()
+            self.reset()
+            return True
+        return False
+
+    # ------------------------------------------------------------------ #
+    # queries
+
+    def contains(self, points):
+        single = np.asarray(points).ndim == 1
+        points = jnp.asarray(np.atleast_2d(np.asarray(points)), jnp.float32)
+        stacked, member_mask = self._stacked()
+        result = np.asarray(_union_contains_jit(
+            stacked, member_mask, points, self.unit))
+        return result[0] if single else result
+
+    def sample(self, n_points=100):
+        """Draw points uniformly from the union.
+
+        Buffered fixed-batch rejection sampling; the buffer and the
+        (n_sample, n_reject) counters persist across calls for the MC volume
+        estimate, mirroring reference: nautilus/bounds/union.py:291-327.
+        """
+        while len(self.points) < n_points:
+            stacked, member_mask = self._stacked()
+            batch, accept = _union_sample_jit(
+                stacked, member_mask, self.keys.next(), self.SAMPLE_BATCH,
+                self.unit)
+            accept = np.asarray(accept)
+            batch = np.asarray(batch, np.float64)[accept]
+            self.points = np.vstack([self.points, batch])
+            self.n_sample += self.SAMPLE_BATCH
+            self.n_reject += self.SAMPLE_BATCH - len(batch)
+
+        points = self.points[:n_points]
+        self.points = self.points[n_points:]
+        return points
+
+    @property
+    def log_v(self):
+        if self.n_sample == 0:
+            self.sample()
+        return float(logsumexp(self.log_v_all) +
+                     np.log(1.0 - self.n_reject / self.n_sample))
+
+    # ------------------------------------------------------------------ #
+    # persistence
+
+    def write(self, group):
+        group.attrs['type'] = 'Union'
+        group.attrs['n_dim'] = self.n_dim
+        group.attrs['enlarge_per_dim'] = self.enlarge_per_dim
+        group.attrs['n_points_min'] = self.n_points_min
+        group.attrs['unit'] = self.unit
+        group.attrs['n_sample'] = self.n_sample
+        group.attrs['n_reject'] = self.n_reject
+        group.attrs['log_v_all'] = self.log_v_all
+        group.attrs['block'] = self.block
+        group.attrs['bound_class'] = (
+            'Ellipsoid' if self.bound_class is Ellipsoid
+            else 'UnitCubeEllipsoidMixture')
+        for i, params in enumerate(self.params_list):
+            sub = group.create_group('member_{}'.format(i))
+            for key in ['c', 'B', 'B_inv', 'dim_mask', 'dim_cube', 'log_v']:
+                sub.attrs[key] = np.asarray(getattr(params, key))
+        for i, points in enumerate(self.points_bounds):
+            group.create_dataset('points_bound_{}'.format(i), data=points)
+        group.create_dataset('points', data=self.points,
+                             maxshape=(None, self.n_dim))
+
+    def update(self, group):
+        group.attrs['n_sample'] = self.n_sample
+        group.attrs['n_reject'] = self.n_reject
+        group['points'].resize(self.points.shape)
+        group['points'][...] = self.points
+
+    @classmethod
+    def read(cls, group, keys=None):
+        bound = cls()
+        bound.keys = keys if keys is not None else KeyStream()
+        bound.n_dim = int(group.attrs['n_dim'])
+        bound.enlarge_per_dim = float(group.attrs['enlarge_per_dim'])
+        bound.n_points_min = int(group.attrs['n_points_min'])
+        bound.unit = bool(group.attrs['unit'])
+        bound.n_sample = int(group.attrs['n_sample'])
+        bound.n_reject = int(group.attrs['n_reject'])
+        bound.block = np.asarray(group.attrs['block'], bool)
+        bound.bound_class = (
+            Ellipsoid if group.attrs['bound_class'] == 'Ellipsoid'
+            else UnitCubeEllipsoidMixture)
+        n_members = len(np.atleast_1d(group.attrs['log_v_all']))
+        bound.params_list = []
+        for i in range(n_members):
+            sub = group['member_{}'.format(i)]
+            bound.params_list.append(G.EllParams(
+                c=jnp.asarray(sub.attrs['c'], jnp.float32),
+                B=jnp.asarray(sub.attrs['B'], jnp.float32),
+                B_inv=jnp.asarray(sub.attrs['B_inv'], jnp.float32),
+                dim_mask=jnp.asarray(sub.attrs['dim_mask'], bool),
+                dim_cube=jnp.asarray(sub.attrs['dim_cube'], bool),
+                log_v=jnp.asarray(sub.attrs['log_v'], jnp.float32)))
+        bound.points_bounds = [
+            np.array(group['points_bound_{}'.format(i)])
+            for i in range(n_members)]
+        bound.points = np.array(group['points'])
+        bound._refresh_bookkeeping()
+        return bound
+
+    def reset(self, keys=None):
+        self.points = np.zeros((0, self.n_dim))
+        self.n_sample = 0
+        self.n_reject = 0
+        if keys is not None:
+            self.keys = keys

@@ -1,0 +1,123 @@
+"""Neural network emulator for likelihood-rank scores.
+
+API-parity analogue of the reference emulator (reference:
+nautilus/neural.py:35-187), built on the vmapped ensemble trainer in
+:mod:`nautilus_tpu.ops.mlp`. Instead of training ``n_networks`` sklearn
+regressors across a process pool, the whole ensemble trains simultaneously
+on device in a single compiled program.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.mlp import MLPParams, train_mlp_ensemble, ensemble_predict
+from .utils.bucket import bucket_size
+
+
+DEFAULT_HIDDEN = (100, 50, 20)
+
+
+class NeuralNetworkEmulator:
+    """Ensemble MLP emulator mapping ellipsoid-frame coords to rank scores.
+
+    Attributes
+    ----------
+    mean, scale : numpy.ndarray
+        Input standardization (reference: nautilus/neural.py:76-77).
+    params : MLPParams
+        Network parameters with a leading ensemble axis.
+    """
+
+    def __init__(self):
+        self.mean = None
+        self.scale = None
+        self.params = None
+        self.n_networks = 0
+        self.hidden_layer_sizes = DEFAULT_HIDDEN
+
+    @classmethod
+    def train(cls, x, y, n_networks=4, neural_network_kwargs=None, key=None):
+        """Train the ensemble.
+
+        ``neural_network_kwargs`` accepts the reference's tunables
+        (``hidden_layer_sizes``, ``learning_rate_init``, ``max_iter``,
+        ``n_iter_no_change``, ``batch_size``); other sklearn-specific keys
+        are ignored.
+        """
+        emulator = cls()
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+
+        emulator.mean = np.mean(x, axis=0)
+        emulator.scale = np.std(x, axis=0)
+        emulator.scale[emulator.scale == 0] = 1.0
+        emulator.n_networks = n_networks
+
+        kwargs = dict(neural_network_kwargs or {})
+        kwargs.pop('random_state', None)
+        hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
+        lr = float(kwargs.pop('learning_rate_init', 1e-2))
+        max_epochs = int(kwargs.pop('max_iter', 3000))
+        n_iter_no_change = int(kwargs.pop('n_iter_no_change', 10))
+        batch_size = kwargs.pop('batch_size', None)
+        emulator.hidden_layer_sizes = hidden
+
+        n = len(x)
+        if batch_size is None:
+            batch_size = min(200, n)
+        n_pad = bucket_size(n)
+        x_pad = np.zeros((n_pad, x.shape[1]))
+        x_pad[:n] = (x - emulator.mean) / emulator.scale
+        y_pad = np.zeros(n_pad)
+        y_pad[:n] = y
+        mask = np.zeros(n_pad, bool)
+        mask[:n] = True
+
+        if key is None:
+            key = jax.random.key(np.random.default_rng().integers(2**31))
+
+        sizes = (x.shape[1],) + hidden + (1,)
+        emulator.params, _ = train_mlp_ensemble(
+            jnp.asarray(x_pad, jnp.float32), jnp.asarray(y_pad, jnp.float32),
+            jnp.asarray(mask), key, sizes, n_networks=n_networks,
+            batch_size=int(batch_size), lr=lr, max_epochs=max_epochs,
+            n_iter_no_change=n_iter_no_change)
+        return emulator
+
+    def predict(self, x):
+        """Ensemble-mean prediction for raw (unstandardized) inputs."""
+        x = np.atleast_2d(np.asarray(x, np.float64))
+        x_t = jnp.asarray((x - self.mean) / self.scale, jnp.float32)
+        return np.asarray(ensemble_predict(self.params, x_t), np.float64)
+
+    def write(self, group):
+        group.attrs['n_networks'] = self.n_networks
+        group.attrs['hidden_layer_sizes'] = np.asarray(
+            self.hidden_layer_sizes)
+        group.create_dataset('mean', data=self.mean)
+        group.create_dataset('scale', data=self.scale)
+        for k, (w, b) in enumerate(zip(self.params.weights,
+                                       self.params.biases)):
+            group.create_dataset('weights_{}'.format(k), data=np.asarray(w))
+            group.create_dataset('biases_{}'.format(k), data=np.asarray(b))
+
+    @classmethod
+    def read(cls, group):
+        emulator = cls()
+        emulator.n_networks = int(group.attrs['n_networks'])
+        emulator.hidden_layer_sizes = tuple(
+            int(h) for h in group.attrs['hidden_layer_sizes'])
+        emulator.mean = np.array(group['mean'])
+        emulator.scale = np.array(group['scale'])
+        weights = []
+        biases = []
+        k = 0
+        while 'weights_{}'.format(k) in group:
+            weights.append(jnp.asarray(
+                np.array(group['weights_{}'.format(k)]), jnp.float32))
+            biases.append(jnp.asarray(
+                np.array(group['biases_{}'.format(k)]), jnp.float32))
+            k += 1
+        emulator.params = MLPParams(tuple(weights), tuple(biases))
+        return emulator

@@ -1,0 +1,169 @@
+"""On-device MLP ensemble training for the likelihood-rank emulator.
+
+TPU-native replacement of the reference's sklearn ``MLPRegressor`` ensemble
+(reference: nautilus/neural.py). The whole ensemble trains simultaneously in
+one compiled program: network parameters carry a leading ensemble axis and
+every optimizer step is vmapped over it, turning ``n_networks`` sequential
+sklearn fits into batched matmuls on the MXU.
+
+Training semantics mirror sklearn's defaults so the emulator's statistical
+behavior matches the reference gates (RMSE / bound purity): ReLU hidden
+layers, linear output, squared-error/2 loss, Adam (lr 1e-2), minibatches of
+min(200, n), per-epoch shuffling, and early stopping after 10 epochs without
+strict improvement of the epoch loss (reference: nautilus/neural.py:79-81).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MLPParams(NamedTuple):
+    weights: tuple
+    biases: tuple
+
+
+def init_mlp(key, sizes, dtype=jnp.float32):
+    """Glorot-uniform initialization (matches sklearn's for ReLU nets)."""
+    weights = []
+    biases = []
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, k in enumerate(keys):
+        fan_in, fan_out = sizes[i], sizes[i + 1]
+        bound = jnp.sqrt(6.0 / (fan_in + fan_out))
+        kw, kb = jax.random.split(k)
+        weights.append(jax.random.uniform(
+            kw, (fan_in, fan_out), dtype, -bound, bound))
+        biases.append(jax.random.uniform(
+            kb, (fan_out,), dtype, -bound, bound))
+    return MLPParams(tuple(weights), tuple(biases))
+
+
+def mlp_forward(params, x):
+    """Forward pass: ReLU hidden layers, linear scalar output."""
+    h = x
+    n_layers = len(params.weights)
+    for i in range(n_layers - 1):
+        h = jax.nn.relu(h @ params.weights[i] + params.biases[i])
+    out = h @ params.weights[-1] + params.biases[-1]
+    return out[..., 0]
+
+
+def ensemble_predict(params, x):
+    """Mean prediction over the ensemble axis.
+
+    ``params`` leaves have a leading ensemble axis. Mirrors reference:
+    nautilus/neural.py:100-116 (standardization is applied by the caller).
+    """
+    preds = jax.vmap(mlp_forward, in_axes=(0, None))(params, x)
+    return jnp.mean(preds, axis=0)
+
+
+def _adam_update(params, grads, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
+    lr_t = lr * jnp.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+    m = jax.tree.map(lambda a, g: b1 * a + (1 - b1) * g, m, grads)
+    v = jax.tree.map(lambda a, g: b2 * a + (1 - b2) * g ** 2, v, grads)
+    params = jax.tree.map(
+        lambda p, mi, vi: p - lr_t * mi / (jnp.sqrt(vi) + eps),
+        params, m, v)
+    return params, m, v
+
+
+@partial(jax.jit,
+         static_argnames=('sizes', 'n_networks', 'batch_size', 'max_epochs',
+                          'n_iter_no_change'))
+def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
+                       lr=1e-2, max_epochs=3000, n_iter_no_change=10):
+    """Train an ensemble of MLP regressors on masked data.
+
+    Parameters
+    ----------
+    x : (n_pad, d) standardized inputs (padded rows arbitrary).
+    y : (n_pad,) targets.
+    mask : (n_pad,) validity mask.
+    key : PRNG key; split per network for init and shuffling.
+    sizes : tuple, full layer sizes (d, *hidden, 1).
+
+    Returns
+    -------
+    params : MLPParams with leading ensemble axis.
+    n_epochs : (n_networks,) epochs actually run per network.
+    """
+    n_pad, d = x.shape
+    dtype = x.dtype
+    n_batches = max(n_pad // batch_size, 1)
+    n_valid = jnp.sum(mask.astype(dtype))
+
+    net_keys = jax.random.split(key, n_networks)
+    params = jax.vmap(lambda k: init_mlp(k, sizes, dtype))(net_keys)
+    m0 = jax.tree.map(jnp.zeros_like, params)
+    v0 = jax.tree.map(jnp.zeros_like, params)
+
+    def batch_loss(p, xb, yb, mb):
+        pred = mlp_forward(p, xb)
+        sq = (pred - yb) ** 2 * mb
+        return 0.5 * jnp.sum(sq) / jnp.maximum(jnp.sum(mb), 1.0)
+
+    grad_fn = jax.value_and_grad(batch_loss)
+
+    def epoch_one_net(p, m, v, t, ekey):
+        perm = jax.random.permutation(ekey, n_pad)
+        xs = x[perm][:n_batches * batch_size].reshape(
+            n_batches, batch_size, d)
+        ys = y[perm][:n_batches * batch_size].reshape(n_batches, batch_size)
+        ms = mask[perm][:n_batches * batch_size].reshape(
+            n_batches, batch_size).astype(dtype)
+
+        def step(carry, batch):
+            p, m, v, t, loss_sum = carry
+            xb, yb, mb = batch
+            loss, grads = grad_fn(p, xb, yb, mb)
+            t = t + 1
+            p, m, v = _adam_update(p, grads, m, v, t, lr)
+            loss_sum = loss_sum + loss * jnp.sum(mb)
+            return (p, m, v, t, loss_sum), None
+
+        (p, m, v, t, loss_sum), _ = jax.lax.scan(
+            step, (p, m, v, t, jnp.asarray(0.0, dtype)), (xs, ys, ms))
+        # Average sample loss over the epoch (matches sklearn's loss_curve_).
+        epoch_loss = loss_sum / jnp.maximum(n_valid, 1.0)
+        return p, m, v, t, epoch_loss
+
+    def cond(state):
+        _, _, _, _, _, _, done, epoch, _ = state
+        return jnp.logical_and(epoch < max_epochs, ~jnp.all(done))
+
+    def body(state):
+        params, m, v, t, best, no_improve, done, epoch, ekey = state
+        ekey, sub = jax.random.split(ekey)
+        epoch_keys = jax.random.split(sub, n_networks)
+        new_params, new_m, new_v, new_t, losses = jax.vmap(
+            epoch_one_net)(params, m, v, t, epoch_keys)
+
+        # Only advance networks that are not done.
+        keep = lambda old, new: jax.tree.map(
+            lambda o, nw: jnp.where(
+                done.reshape((-1,) + (1,) * (nw.ndim - 1)), o, nw), old, new)
+        params = keep(params, new_params)
+        m = keep(m, new_m)
+        v = keep(v, new_v)
+        t = jnp.where(done, t, new_t)
+
+        improved = losses < best
+        no_improve = jnp.where(
+            done, no_improve, jnp.where(improved, 0, no_improve + 1))
+        best = jnp.where(done, best, jnp.minimum(best, losses))
+        done = done | (no_improve > n_iter_no_change)
+        return (params, m, v, t, best, no_improve, done, epoch + 1, ekey)
+
+    t0 = jnp.zeros(n_networks, jnp.int32)
+    best0 = jnp.full(n_networks, jnp.inf, dtype)
+    no_improve0 = jnp.zeros(n_networks, jnp.int32)
+    done0 = jnp.zeros(n_networks, bool)
+    state = (params, m0, v0, t0, best0, no_improve0, done0,
+             jnp.asarray(0, jnp.int32), key)
+    state = jax.lax.while_loop(cond, body, state)
+    params, t = state[0], state[3]
+    return params, t // n_batches

@@ -1,0 +1,938 @@
+"""The TPU-native importance nested sampler.
+
+Host-side adaptive control loop with all hot math on device: candidate
+points are drawn through fused rejection-sampling kernels, neural bounds
+train as vmapped MLP ensembles, and jittable likelihoods evaluate on device
+fused with the prior transform (optionally sharded over a device mesh).
+
+Control-flow parity with the reference sampler (reference:
+nautilus/sampler.py): two phases (exploration builds nested shells, sampling
+fills them to a target effective sample size), transfer points, plateau
+handling, blobs, checkpoint/resume.
+"""
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+import numpy as np
+
+from functools import partial
+from pathlib import Path
+from scipy.special import logsumexp
+from shutil import get_terminal_size
+from time import time
+from warnings import warn
+
+import jax
+import jax.numpy as jnp
+
+from .bounds import UnitCube, NautilusBound
+from .pool import SamplerPool, likelihood_worker
+from .prior import Prior
+from .utils.bucket import bucket_size
+from .utils.keys import KeyStream
+
+
+class Sampler:
+    """Dynamic sampler built on importance nested sampling.
+
+    Drop-in analogue of the reference Sampler (reference:
+    nautilus/sampler.py:21-129) with one addition: ``vectorized='jax'``
+    declares the likelihood jittable, enabling the fully fused device path
+    (prior transform + likelihood in one XLA program).
+    """
+
+    def __init__(self, prior, likelihood, n_dim=None, n_live=2000,
+                 n_update=None, enlarge_per_dim=1.1, n_points_min=None,
+                 split_threshold=100, periodic=None, n_networks=4,
+                 neural_network_kwargs=None, prior_args=None,
+                 prior_kwargs=None, likelihood_args=None,
+                 likelihood_kwargs=None, n_batch=None,
+                 n_like_new_bound=None, vectorized=False, pass_dict=None,
+                 pool=None, seed=None, blobs_dtype=None, filepath=None,
+                 resume=True, mesh=None):
+        if callable(prior):
+            self.prior = partial(prior, *(prior_args or []),
+                                 **(prior_kwargs or {}))
+        else:
+            self.prior = prior
+        self._base_likelihood = likelihood
+        self.likelihood = partial(likelihood, *(likelihood_args or []),
+                                  **(likelihood_kwargs or {}))
+
+        if callable(prior):
+            if n_dim is None:
+                raise ValueError("When passing a function as the 'prior' " +
+                                 "argument, 'n_dim' cannot be None.")
+            self.n_dim = n_dim
+            if pass_dict is None:
+                pass_dict = False
+        else:
+            self.n_dim = prior.dimensionality()
+            if pass_dict is None:
+                pass_dict = True
+
+        if self.n_dim <= 1:
+            raise ValueError(
+                'Cannot run the sampler with less than 2 parameters.')
+
+        self.n_live = n_live
+        self.n_update = n_update if n_update is not None else n_live
+        self.n_like_new_bound = (n_like_new_bound if n_like_new_bound
+                                 is not None else 10 * n_live)
+        self.enlarge_per_dim = enlarge_per_dim
+        self.n_points_min = (n_points_min if n_points_min is not None
+                             else self.n_dim + 50)
+        self.split_threshold = split_threshold
+        self.periodic = periodic
+        self.n_networks = n_networks
+        self.neural_network_kwargs = neural_network_kwargs or {}
+        self.vectorized = vectorized
+        self.pass_dict = pass_dict
+
+        # Pools parallelize host (non-JAX) likelihoods only; device kernels
+        # replace the reference's sampler pool.
+        try:
+            pool = list(pool)
+        except TypeError:
+            pool = [pool]
+        pool_l = pool[0]
+        if pool_l in [None, 1]:
+            self.pool_l = None
+        elif isinstance(pool_l, int):
+            self.pool_l = SamplerPool(pool_l, likelihood=self.likelihood)
+            self.likelihood = likelihood_worker
+        else:
+            self.pool_l = SamplerPool(pool_l)
+
+        if n_batch is None:
+            s = 1 if self.pool_l is None else self.pool_l.size
+            n_batch = (100 // s + (100 % s != 0)) * s
+        self.n_batch = n_batch
+
+        self.seed = seed
+        self.keys = KeyStream(seed)
+        self.rng = np.random.default_rng(seed)
+        # Optional jax.sharding.Mesh: shards device-likelihood batches over
+        # the 'dp' axis (the TPU-native analogue of the reference's
+        # likelihood pool).
+        self.mesh = mesh
+
+        self._jax_eval_cache = {}
+
+        # Run state.
+        self.n_like = 0
+        self.explored = False
+        self.bounds = []
+        self.points = []
+        self.log_l = []
+        self.blobs = None
+        self.blobs_dtype = blobs_dtype
+        self._discard_exploration = False
+        self.shell_n = np.zeros(0, dtype=int)
+        self.shell_n_sample = np.zeros(0, dtype=int)
+        self.shell_n_eff = np.zeros(0, dtype=float)
+        self.shell_log_l_min = np.zeros(0, dtype=float)
+        self.shell_log_l = np.zeros(0, dtype=float)
+        self.shell_log_v = np.zeros(0, dtype=float)
+        self.shell_n_sample_exp = np.zeros(0, dtype=int)
+        self.shell_end_exp = np.zeros(0, dtype=int)
+        self.points_t = np.zeros((0, self.n_dim))
+        self.shell_t = np.zeros(0, dtype=int)
+        self.log_l_t = np.zeros(0)
+        self.blobs_t = None
+        self.n_update_iter = 0
+        self.n_like_iter = 0
+
+        self.filepath = filepath
+        if resume and filepath is not None and Path(filepath).exists():
+            self._read_state(filepath)
+
+    # ------------------------------------------------------------------ #
+    # main loop
+
+    def run(self, f_live=0.01, n_shell=1, n_eff=10000, n_like_max=np.inf,
+            discard_exploration=False, timeout=np.inf, verbose=False):
+        """Run until convergence (reference: nautilus/sampler.py:373-505).
+
+        Returns True if converged; False if stopped by ``n_like_max`` or
+        ``timeout``.
+        """
+        t_start = time()
+
+        if verbose:
+            if self.n_like == 0:
+                print('Starting the nautilus-tpu sampler...')
+            else:
+                print('Resuming nautilus-tpu run...')
+            self.print_status(header=True)
+
+        if len(self.bounds) == 0:
+            self.add_bound()
+            self.n_update_iter = -self.n_live
+            self.n_like_iter = 0
+
+        success = (self.explored and np.all(self.shell_n >= n_shell) and
+                   self.n_eff >= n_eff)
+
+        while ((self.n_like < n_like_max) and
+               (time() - t_start < timeout) and not success):
+
+            if not self.explored:
+                if ((self.n_update_iter >= self.n_update or
+                     self.n_like_iter >= self.n_like_new_bound) and
+                        np.sum(self.shell_n) > self.n_live):
+                    self.add_bound(verbose=verbose)
+                    self.n_update_iter = 0
+                    self.n_like_iter = 0
+                    if self.filepath is not None:
+                        self.write(self.filepath, overwrite=True)
+
+                self.n_update_iter += self.add_samples(-1, verbose=verbose)
+                self.n_like_iter += self.n_batch
+                if self.filepath is not None:
+                    if self.n_like == self.n_batch:
+                        self.write(self.filepath, overwrite=True)
+                    self.write_shell_update(self.filepath, -1)
+
+                if self.f_live <= f_live:
+                    # Remove unoccupied shells: they hold ~zero volume and
+                    # may never yield a point.
+                    if np.any(self.shell_n == 0):
+                        for shell in np.flatnonzero(self.shell_n == 0)[::-1]:
+                            self.bounds.pop(shell)
+                            self.points.pop(shell)
+                            self.log_l.pop(shell)
+                            if self.blobs is not None:
+                                self.blobs.pop(shell)
+                            for key in ['shell_n', 'shell_n_sample',
+                                        'shell_n_eff', 'shell_log_l_min',
+                                        'shell_log_l', 'shell_log_v']:
+                                setattr(self, key, np.delete(
+                                    getattr(self, key), shell))
+
+                    self.shell_n_sample_exp = np.copy(self.shell_n_sample)
+                    self.shell_end_exp = np.array(
+                        [len(p) for p in self.points])
+                    self.explored = True
+                    self.discard_exploration = discard_exploration
+                    if self.filepath is not None:
+                        self.write(self.filepath, overwrite=True)
+
+            elif np.any(self.shell_n < n_shell):
+                shell = np.flatnonzero(self.shell_n < n_shell)[0]
+                self.add_samples(shell, verbose=verbose)
+                if self.filepath is not None:
+                    self.write_shell_update(self.filepath, shell)
+
+            elif self.n_eff < n_eff:
+                shell = np.argmax(
+                    self.shell_log_l + self.shell_log_v -
+                    0.5 * np.log(self.shell_n) -
+                    0.5 * np.log(self.shell_n_eff))
+                self.add_samples(shell, verbose=verbose)
+                if self.filepath is not None:
+                    self.write_shell_update(self.filepath, shell)
+
+            success = (self.explored and np.all(self.shell_n >= n_shell) and
+                       self.n_eff >= n_eff)
+
+        if verbose:
+            self.print_status('Finished' if success else 'Stopped')
+
+        return success
+
+    # ------------------------------------------------------------------ #
+    # exploration / sampling internals
+
+    @property
+    def discard_exploration(self):
+        return self._discard_exploration
+
+    @discard_exploration.setter
+    def discard_exploration(self, discard_exploration):
+        if not isinstance(discard_exploration, bool):
+            raise ValueError("'discard_exploration' must be a bool.")
+        self._discard_exploration = discard_exploration
+        for index in range(len(self.log_l)):
+            self.update_shell_info(index)
+
+    def add_bound(self, verbose=False):
+        """Try to build a new bound over the current live set.
+
+        Reference: nautilus/sampler.py:982-1091.
+        """
+        if len(self.bounds) == 0:
+            log_l_min = -np.inf
+            self.bounds.append(UnitCube.compute(self.n_dim, keys=self.keys))
+            success = True
+        else:
+            if verbose:
+                self.print_status('Bounding', end='\r')
+            log_l = np.concatenate(self.log_l)
+            points = np.concatenate(self.points)[np.argsort(log_l)]
+            log_l = np.sort(log_l)
+            log_l_min = log_l[-self.n_live]
+
+            # Skip likelihood plateaus when enough points lie above them.
+            if (np.sum(log_l == log_l_min) > 1 and
+                    np.sum(log_l > log_l_min) >= self.n_points_min):
+                log_l_min = np.amin(log_l[log_l > log_l_min])
+
+            if np.all(log_l >= log_l_min):
+                success = False
+            else:
+                bound = NautilusBound.compute(
+                    points, log_l, log_l_min, self.log_v_live,
+                    enlarge_per_dim=self.enlarge_per_dim,
+                    n_points_min=self.n_points_min,
+                    split_threshold=self.split_threshold,
+                    periodic=self.periodic,
+                    n_networks=self.n_networks,
+                    neural_network_kwargs=self.neural_network_kwargs,
+                    keys=self.keys)
+                bound.sample(1000, return_points=False)
+
+                # Only accept a new bound if it is smaller.
+                if bound.log_v < self.bounds[-1].log_v:
+                    self.bounds.append(bound)
+                    success = True
+                else:
+                    success = False
+
+        if success:
+            self.shell_n = np.append(self.shell_n, 0)
+            self.shell_n_sample = np.append(self.shell_n_sample, 0)
+            self.shell_n_eff = np.append(self.shell_n_eff, 0)
+            self.shell_log_l = np.append(self.shell_log_l, np.nan)
+            self.shell_log_v = np.append(self.shell_log_v, np.nan)
+            self.shell_log_l_min = np.append(self.shell_log_l_min, log_l_min)
+            self.points.append(np.zeros((0, self.n_dim)))
+            self.log_l.append(np.zeros(0))
+            if self.blobs is not None:
+                self.blobs.append(np.zeros(
+                    self.blobs[-1][:0].shape, dtype=self.blobs_dtype))
+        else:
+            self.shell_log_l_min[-1] = log_l_min
+            return False
+
+        # Move points of previous shells that fall inside the new bound to
+        # the transfer set: their likelihoods can be reused.
+        if len(self.bounds) > 1:
+            shell_t = []
+            points_t = []
+            log_l_t = []
+            blobs_t = [] if self.blobs is not None else None
+
+            for shell in range(len(self.bounds) - 1):
+                in_bound = self.bounds[-1].contains(self.points[shell])
+                shell_t.append(np.repeat(shell, np.sum(in_bound)))
+                points_t.append(self.points[shell][in_bound])
+                self.points[shell] = self.points[shell][~in_bound]
+                log_l_t.append(self.log_l[shell][in_bound])
+                self.log_l[shell] = self.log_l[shell][~in_bound]
+                if self.blobs is not None:
+                    blobs_t.append(self.blobs[shell][in_bound])
+                    self.blobs[shell] = self.blobs[shell][~in_bound]
+                self.shell_n[shell] -= np.sum(in_bound)
+                self.update_shell_info(shell)
+
+            self.shell_t = np.concatenate(shell_t)
+            self.points_t = np.concatenate(points_t)
+            self.log_l_t = np.concatenate(log_l_t)
+            if self.blobs is not None:
+                self.blobs_t = np.concatenate(blobs_t)
+
+        return True
+
+    def sample_shell(self, index, shell_t=None):
+        """Sample a batch of points uniformly from a shell.
+
+        Shell i is the volume inside bound i but outside all later bounds
+        (reference: nautilus/sampler.py:751-830).
+        """
+        if shell_t is not None and index not in [-1, len(self.bounds) - 1]:
+            raise ValueError("'shell_t' must be empty if not sampling " +
+                             "from the last bound/shell.")
+
+        n_bound = 0
+        n_sample = 0
+        idx_t = np.zeros(0, dtype=int)
+        points_all = []
+
+        while n_sample < self.n_batch:
+            points = self.bounds[index].sample(self.n_batch - n_sample)
+            n_bound += self.n_batch - n_sample
+
+            # Reject points that belong to a later shell.
+            in_shell = np.ones(len(points), dtype=bool)
+            for bound in self.bounds[index:][1:]:
+                in_shell &= ~np.asarray(bound.contains(points))
+                if not np.any(in_shell):
+                    break
+            points = points[in_shell]
+
+            # Substitute transfer points where possible.
+            replace = np.zeros(len(points), dtype=bool)
+            if shell_t is not None and len(shell_t) > 0:
+                shell_p = self.shell_association(
+                    points, n_max=len(self.bounds) - 1)
+                for shell in range(len(self.bounds) - 1):
+                    idx_1 = np.flatnonzero(shell_t == shell)
+                    idx_2 = np.flatnonzero(shell_p == shell)
+                    n = min(len(idx_1), len(idx_2))
+                    if n > 0:
+                        idx_t = np.append(idx_t, self.rng.choice(
+                            idx_1, size=n, replace=False))
+                        shell_t[idx_t] = -1
+                        replace[self.rng.choice(
+                            idx_2, size=n, replace=False)] = True
+
+            points = points[~replace]
+
+            if len(points) > 0:
+                points_all.append(points)
+                n_sample += len(points)
+
+        points = np.concatenate(points_all)
+
+        if shell_t is None:
+            return points, n_bound
+        return points, n_bound, idx_t
+
+    # ------------------------------------------------------------------ #
+    # likelihood evaluation
+
+    def _jax_eval(self, n):
+        """Compiled prior-transform + likelihood for a padded batch size."""
+        if n not in self._jax_eval_cache:
+            if callable(self.prior):
+                transform = self.prior
+            elif isinstance(self.prior, Prior) and self.prior.is_uniform():
+                lo, hi = self.prior.uniform_bounds()
+                lo = jnp.asarray(lo)
+                hi = jnp.asarray(hi)
+
+                def transform(u):
+                    return lo + (hi - lo) * u
+            else:
+                raise ValueError(
+                    "vectorized='jax' requires a callable prior or an "
+                    "all-uniform Prior instance.")
+
+            likelihood = self.likelihood
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sharding = NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+
+                @jax.jit
+                def evaluate(points):
+                    points = jax.lax.with_sharding_constraint(
+                        points, sharding)
+                    return likelihood(transform(points))
+            else:
+                @jax.jit
+                def evaluate(points):
+                    return likelihood(transform(points))
+
+            self._jax_eval_cache[n] = evaluate
+        return self._jax_eval_cache[n]
+
+    def evaluate_likelihood(self, points):
+        """Evaluate the likelihood for a batch of unit-cube points.
+
+        Reference: nautilus/sampler.py:832-908 plus the fused device path.
+        """
+        if self.vectorized == 'jax':
+            n = len(points)
+            n_pad = bucket_size(n)
+            pts = np.zeros((n_pad, self.n_dim))
+            pts[:n] = points
+            result = self._jax_eval(n_pad)(jnp.asarray(pts, jnp.float32))
+            if isinstance(result, tuple):
+                log_l = np.asarray(
+                    result[0], np.float64)[:n]
+                blobs = [np.asarray(b)[:n] for b in result[1:]]
+            else:
+                log_l = np.asarray(result, np.float64)[:n]
+                blobs = None
+            blobs_list = None if blobs is None else list(zip(*blobs))
+        else:
+            if callable(self.prior):
+                transform = self.prior
+            elif self.pass_dict:
+                transform = self.prior.unit_to_dictionary
+            else:
+                transform = self.prior.unit_to_physical
+
+            if not self.vectorized:
+                args = list(map(transform, np.copy(points)))
+            else:
+                args = list(map(transform, np.array_split(
+                    points,
+                    1 if self.pool_l is None else self.pool_l.size)))
+
+            if self.pool_l is not None:
+                result = list(self.pool_l.map(self.likelihood, args))
+            else:
+                result = list(map(self.likelihood, args))
+
+            if isinstance(result[0], tuple):
+                log_l_parts = [r[0] for r in result]
+                blobs_list = [r[1:] for r in result]
+            else:
+                log_l_parts = result
+                blobs_list = None
+
+            if self.vectorized:
+                log_l = np.concatenate(log_l_parts)
+            else:
+                log_l = np.array(log_l_parts)
+
+            if blobs_list is not None and self.vectorized:
+                blobs_cols = [np.concatenate(
+                    [blobs_list[row][col] for row in range(len(blobs_list))])
+                    for col in range(len(blobs_list[0]))]
+                blobs_list = list(zip(*blobs_cols))
+
+        blobs = None
+        if blobs_list is not None:
+            cols = [np.array([row[col] for row in blobs_list])
+                    for col in range(len(blobs_list[0]))]
+            if self.blobs_dtype is None:
+                if len(cols) > 1:
+                    self.blobs_dtype = [
+                        ('blob_{}'.format(i), b.dtype)
+                        for i, b in enumerate(cols)]
+                else:
+                    self.blobs_dtype = cols[0].dtype
+            blobs = np.squeeze(np.array(
+                list(zip(*cols)), dtype=self.blobs_dtype))
+
+        self.n_like += len(log_l)
+        return log_l, blobs
+
+    def add_samples(self, shell, verbose=False):
+        """Add one batch of samples to a shell.
+
+        Reference: nautilus/sampler.py:1093-1144.
+        """
+        if verbose:
+            self.print_status('Sampling', end='\r')
+
+        if shell == -1 and len(self.shell_t) > 0:
+            points, n_bound, idx_t = self.sample_shell(-1, self.shell_t)
+            assert len(points) + len(idx_t) == n_bound
+            if verbose:
+                self.print_status('Computing', end='\r')
+            if len(idx_t) > 0:
+                self.points[-1] = np.concatenate(
+                    (self.points[-1], self.points_t[idx_t]))
+                self.log_l[-1] = np.concatenate(
+                    (self.log_l[-1], self.log_l_t[idx_t]))
+                if self.blobs is not None:
+                    self.blobs[-1] = np.concatenate(
+                        (self.blobs[-1], self.blobs_t[idx_t]))
+        else:
+            points, n_bound = self.sample_shell(shell)
+            if verbose:
+                self.print_status('Computing', end='\r')
+
+        self.shell_n_sample[shell] += n_bound
+        log_l, blobs = self.evaluate_likelihood(points)
+        self.points[shell] = np.append(self.points[shell], points, axis=0)
+        self.log_l[shell] = np.append(self.log_l[shell], log_l, axis=0)
+        if blobs is not None:
+            if self.blobs is None:
+                self.blobs = [blobs]
+            else:
+                self.blobs[shell] = np.append(
+                    self.blobs[shell], blobs, axis=0)
+        self.update_shell_info(shell)
+
+        return np.sum(log_l >= self.shell_log_l_min[shell])
+
+    def update_shell_info(self, index):
+        """Recompute per-shell statistics.
+
+        Reference: nautilus/sampler.py:910-943.
+        """
+        shell_n_sample = self.shell_n_sample[index]
+
+        if self._discard_exploration and self.explored:
+            start = self.shell_end_exp[index]
+            shell_n_sample -= self.shell_n_sample_exp[index]
+        else:
+            start = 0
+
+        log_l = self.log_l[index][start:]
+        shell_n = len(log_l)
+        self.shell_n[index] = shell_n
+
+        if shell_n > 0:
+            self.shell_log_v[index] = (
+                self.bounds[index].log_v +
+                np.log(shell_n / shell_n_sample))
+            self.shell_log_l[index] = logsumexp(log_l) - np.log(shell_n)
+            if not np.all(log_l == -np.inf):
+                self.shell_n_eff[index] = np.exp(
+                    2 * logsumexp(log_l) - logsumexp(2 * log_l))
+            else:
+                self.shell_n_eff[index] = len(log_l)
+        else:
+            self.shell_log_v[index] = -np.inf
+            self.shell_log_l[index] = np.nan
+            self.shell_n_eff[index] = 0
+
+    # ------------------------------------------------------------------ #
+    # summary statistics
+
+    def posterior(self, return_as_dict=None, equal_weight=False,
+                  equal_weight_boost=1.0, return_blobs=False):
+        """Return the weighted posterior sample estimate.
+
+        Reference: nautilus/sampler.py:541-647.
+        """
+        if return_as_dict is None:
+            return_as_dict = bool(
+                callable(self.prior) and self.pass_dict and
+                self.vectorized != 'jax')
+
+        if self._discard_exploration and self.explored:
+            start = self.shell_end_exp
+        else:
+            start = np.zeros(len(self.points), dtype=int)
+
+        points = np.concatenate(
+            [p[s:] for p, s in zip(self.points, start)])
+        log_v = np.repeat(self.shell_log_v -
+                          np.log(np.maximum(self.shell_n, 1)), self.shell_n)
+        log_l = np.concatenate(
+            [ll[s:] for ll, s in zip(self.log_l, start)])
+        log_w = log_v + log_l
+        if return_blobs:
+            if self.blobs is None:
+                raise ValueError('No blobs have been calculated.')
+            blobs = np.concatenate(
+                [b[s:] for b, s in zip(self.blobs, start)])
+
+        if equal_weight:
+            repeats = np.exp(log_w - np.amax(log_w)) * equal_weight_boost
+            repeats = np.floor(repeats).astype(int) + (
+                self.rng.random(len(repeats)) <
+                repeats - np.floor(repeats)).astype(int)
+            points = np.repeat(points, repeats, axis=0)
+            log_w = np.zeros(np.sum(repeats))
+            log_l = np.repeat(log_l, repeats, axis=0)
+            if return_blobs:
+                blobs = np.repeat(blobs, repeats, axis=0)
+
+        if callable(self.prior):
+            transform = self.prior
+        elif return_as_dict:
+            transform = self.prior.unit_to_dictionary
+        else:
+            transform = self.prior.unit_to_physical
+
+        if self.vectorized == 'jax' and callable(self.prior):
+            points = np.asarray(transform(jnp.asarray(points, jnp.float32)),
+                                np.float64)
+        elif not self.vectorized and callable(self.prior):
+            points = np.array(list(map(transform, points)))
+        else:
+            points = transform(points)
+
+        if (not return_as_dict and callable(self.prior) and self.pass_dict
+                and self.vectorized != 'jax'):
+            raise ValueError(
+                'Cannot return points as numpy array. The prior function ' +
+                'only returns dictionaries.')
+
+        log_w = log_w - logsumexp(log_w)
+
+        if return_blobs:
+            return points, log_w, log_l, blobs
+        return points, log_w, log_l
+
+    @property
+    def n_eff(self):
+        """Total effective sample size (reference: sampler.py:650-665)."""
+        if np.all(self.shell_n_eff == 0):
+            return 0
+        select = self.shell_n_eff > 0
+        sum_w = np.exp(self.shell_log_l + self.shell_log_v - np.nanmax(
+            self.shell_log_l + self.shell_log_v))[select]
+        sum_w_sq = sum_w ** 2 / self.shell_n_eff[select]
+        return np.sum(sum_w) ** 2 / np.sum(sum_w_sq)
+
+    def effective_sample_size(self):
+        warn("'effective_sample_size' is deprecated. Use the property "
+             "'n_eff' instead.", DeprecationWarning, stacklevel=2)
+        return self.n_eff
+
+    @property
+    def log_z(self):
+        """Global log evidence (reference: sampler.py:682-694)."""
+        if np.sum(self.shell_n) == 0:
+            return None
+        select = ~np.isnan(self.shell_log_l)
+        return logsumexp(
+            self.shell_log_l[select] + self.shell_log_v[select])
+
+    def evidence(self):
+        warn("'evidence' is deprecated. Use the property 'log_z' instead.",
+             DeprecationWarning, stacklevel=2)
+        return self.log_z
+
+    @property
+    def eta(self):
+        """Asymptotic sampling efficiency (reference: sampler.py:710-730)."""
+        shell_log_z = self.shell_log_l + self.shell_log_v
+        shell_eta = self.shell_n_eff / self.shell_n
+        select = ~np.isnan(self.shell_log_l)
+        shell_log_z = shell_log_z[select]
+        shell_eta = shell_eta[select]
+        return np.exp(2 * logsumexp(shell_log_z) - 2 * logsumexp(
+            shell_log_z - 0.5 * np.log(shell_eta)))
+
+    def asymptotic_sampling_efficiency(self):
+        warn("'asymptotic_sampling_efficiency' is deprecated. Use the "
+             "property 'eta' instead.", DeprecationWarning, stacklevel=2)
+        return self.eta
+
+    @property
+    def f_live(self):
+        """Fraction of the evidence in the live set
+        (reference: sampler.py:1147-1169)."""
+        if self.explored:
+            return None
+        if np.sum(self.shell_n) == 0:
+            return 1.0
+        log_v = np.repeat(
+            self.shell_log_v - np.log(np.maximum(self.shell_n, 1)),
+            self.shell_n)
+        log_l = np.concatenate(self.log_l)
+        log_w = log_v + log_l
+        log_w_live = log_w[np.argsort(log_l)][-self.n_live:]
+        return np.exp(logsumexp(log_w_live) - logsumexp(log_w))
+
+    @property
+    def log_v_live(self):
+        """Volume in the live set (reference: sampler.py:1172-1190)."""
+        if len(self.bounds) == 0:
+            return 1.0
+        log_l = np.concatenate(self.log_l)
+        log_v = np.repeat(
+            self.shell_log_v - np.log(np.maximum(self.shell_n, 1)),
+            self.shell_n)
+        log_v_live = log_v[np.argsort(log_l)][-self.n_live:]
+        return logsumexp(log_v_live)
+
+    def shell_association(self, points, n_max=None):
+        """Innermost bound containing each point
+        (reference: sampler.py:1192-1221)."""
+        if n_max is None:
+            n_max = len(self.bounds)
+
+        shell = np.repeat(-1, len(points))
+        for i, bound in reversed(list(enumerate(self.bounds[:n_max]))):
+            mask = shell >= 0
+            if np.all(mask):
+                break
+            mask[~mask] = ~np.asarray(bound.contains(points[~mask]))
+            shell[~mask] = i
+        return shell
+
+    def shell_bound_occupation(self, fractional=True):
+        """Cross-occupation matrix of shells and bounds
+        (reference: sampler.py:1223-1251)."""
+        m = np.zeros((len(self.bounds), len(self.bounds)), dtype=int)
+        for i, points in enumerate(self.points):
+            for k, bound in enumerate(self.bounds):
+                m[i, k] = np.sum(bound.contains(points))
+        if fractional:
+            m = m / np.diag(m)[:, np.newaxis]
+        return m
+
+    def print_status(self, status='', header=False, end='\n'):
+        """One-line live status (reference: sampler.py:945-980)."""
+        if header:
+            data = ['Status', 'Bounds', 'Ellipses', 'Networks', 'Calls',
+                    'f_live', 'N_eff', 'log Z']
+        else:
+            data = [status, len(self.bounds)]
+            if len(self.bounds) > 1:
+                data.extend([self.bounds[-1].n_ell, self.bounds[-1].n_net])
+            else:
+                data.extend([0, 0])
+            data.extend([self.n_like, self.f_live, self.n_eff, self.log_z])
+            fmt = ['{}', '{:d}', '{:d}', '{:d}', '{:d}', '{:.4f}', '{:.0f}',
+                   '{:+.2f}']
+            for i in range(len(data)):
+                data[i] = ('N/A' if data[i] is None
+                           else fmt[i].format(data[i]))
+
+        for i, length in enumerate([9, 6, 8, 8, 8, 6, 5, 7]):
+            data[i] = '{:<{}}'.format(data[i], length)
+
+        output = ' | '.join(data)
+        width = get_terminal_size((80, 24)).columns
+        print(output.ljust(width)[:width], end=end, flush=True)
+
+    # ------------------------------------------------------------------ #
+    # persistence
+
+    def write(self, filepath, overwrite=False):
+        """Write the full sampler state to an HDF5 file.
+
+        Schema mirrors the reference (reference: sampler.py:1253-1332) with
+        the PRNG key stream state added.
+        """
+        if h5py is None:
+            raise RuntimeError('h5py is required for checkpointing.')
+        filepath = Path(filepath)
+        if filepath.suffix not in ['.h5', '.hdf5']:
+            raise ValueError("File ending must be '.h5' or '.hdf5'.")
+        if filepath.exists():
+            if not overwrite:
+                raise RuntimeError(
+                    'File {} already exists.'.format(str(filepath)))
+            filepath.unlink()
+        filepath.parent.mkdir(parents=True, exist_ok=True)
+
+        fstream = h5py.File(filepath, 'x')
+        group = fstream.create_group('sampler')
+
+        for key in ['n_dim', 'n_live', 'n_update', 'n_like_new_bound',
+                    'enlarge_per_dim', 'n_points_min', 'split_threshold',
+                    'n_networks', 'n_batch', 'n_like', 'explored',
+                    '_discard_exploration', 'shell_n', 'shell_n_sample',
+                    'shell_n_eff', 'shell_log_l_min', 'shell_log_l',
+                    'shell_log_v', 'shell_n_sample_exp', 'shell_end_exp',
+                    'n_update_iter', 'n_like_iter']:
+            group.attrs[key] = getattr(self, key)
+        group.attrs['vectorized'] = (
+            'jax' if self.vectorized == 'jax' else bool(self.vectorized))
+        group.attrs['pass_dict'] = self.pass_dict
+
+        for shell in range(len(self.bounds)):
+            group.create_dataset(
+                'points_{}'.format(shell), data=self.points[shell],
+                maxshape=(None, self.n_dim))
+            group.create_dataset(
+                'log_l_{}'.format(shell), data=self.log_l[shell],
+                maxshape=(None,))
+            if self.blobs is not None:
+                maxshape = list(self.blobs[shell].shape)
+                maxshape[0] = None
+                group.create_dataset(
+                    'blobs_{}'.format(shell), data=self.blobs[shell],
+                    maxshape=tuple(maxshape))
+
+        group.create_dataset('points_t', data=self.points_t,
+                             maxshape=(None, self.n_dim))
+        group.create_dataset('shell_t', data=self.shell_t, maxshape=(None,))
+        group.create_dataset('log_l_t', data=self.log_l_t, maxshape=(None,))
+        if self.blobs_t is not None:
+            maxshape = list(self.blobs_t.shape)
+            maxshape[0] = None
+            group.create_dataset('blobs_t', data=self.blobs_t,
+                                 maxshape=tuple(maxshape))
+
+        for i, bound in enumerate(self.bounds):
+            bound.write(fstream.create_group('bound_{}'.format(i)))
+
+        self._write_rng(group)
+        fstream.close()
+
+    def _write_rng(self, group):
+        group.attrs['keys_seed'] = self.keys.state['seed']
+        group.attrs['keys_counter'] = self.keys.state['counter']
+        rng_state = self.rng.bit_generator.state
+        group.attrs['rng_state'] = str(rng_state['state']['state'])
+        group.attrs['rng_inc'] = str(rng_state['state']['inc'])
+        group.attrs['rng_has_uint32'] = rng_state['has_uint32']
+        group.attrs['rng_uinteger'] = rng_state['uinteger']
+
+    def _read_rng(self, group):
+        self.keys.state = {'seed': int(group.attrs['keys_seed']),
+                           'counter': int(group.attrs['keys_counter'])}
+        self.rng.bit_generator.state = dict(
+            bit_generator='PCG64',
+            state=dict(state=int(group.attrs['rng_state']),
+                       inc=int(group.attrs['rng_inc'])),
+            has_uint32=group.attrs['rng_has_uint32'],
+            uinteger=group.attrs['rng_uinteger'])
+
+    def write_shell_update(self, filepath, shell):
+        """Incrementally update one shell in an existing checkpoint.
+
+        Reference: sampler.py:1334-1377.
+        """
+        if shell < 0:
+            shell = len(self.bounds) + shell
+        fstream = h5py.File(Path(filepath), 'r+')
+        group = fstream['sampler']
+
+        for key in ['n_like', 'shell_n', 'shell_n_sample', 'shell_n_eff',
+                    'shell_log_l_min', 'shell_log_l', 'shell_log_v',
+                    'n_update_iter', 'n_like_iter']:
+            group.attrs[key] = getattr(self, key)
+
+        group['points_{}'.format(shell)].resize(self.points[shell].shape)
+        group['points_{}'.format(shell)][...] = self.points[shell]
+        group['log_l_{}'.format(shell)].resize(self.log_l[shell].shape)
+        group['log_l_{}'.format(shell)][...] = self.log_l[shell]
+        if self.blobs is not None:
+            group['blobs_{}'.format(shell)].resize(self.blobs[shell].shape)
+            group['blobs_{}'.format(shell)][...] = self.blobs[shell]
+
+        for key in ['points_t', 'shell_t', 'log_l_t', 'blobs_t']:
+            if getattr(self, key) is not None:
+                group[key].resize(getattr(self, key).shape)
+                group[key][...] = getattr(self, key)
+
+        if isinstance(self.bounds[shell], NautilusBound):
+            self.bounds[shell].update(fstream['bound_{}'.format(shell)])
+
+        self._write_rng(group)
+        fstream.close()
+
+    def _read_state(self, filepath):
+        """Resume from a checkpoint (reference: sampler.py:330-371)."""
+        with h5py.File(filepath, 'r') as fstream:
+            group = fstream['sampler']
+            self._read_rng(group)
+
+            for key in ['n_like', 'explored', '_discard_exploration',
+                        'shell_n', 'shell_n_sample', 'shell_n_eff',
+                        'shell_log_l_min', 'shell_log_l', 'shell_log_v',
+                        'shell_n_sample_exp', 'shell_end_exp',
+                        'n_update_iter', 'n_like_iter']:
+                setattr(self, key, group.attrs[key])
+
+            for shell in range(len(self.shell_n)):
+                self.points.append(
+                    np.array(group['points_{}'.format(shell)]))
+                self.log_l.append(
+                    np.array(group['log_l_{}'.format(shell)]))
+                if 'blobs_{}'.format(shell) in group:
+                    if shell == 0:
+                        self.blobs = []
+                    self.blobs.append(
+                        np.array(group['blobs_{}'.format(shell)]))
+                    if shell == 0:
+                        self.blobs_dtype = self.blobs[-1].dtype
+
+            for key in ['shell_t', 'points_t', 'log_l_t', 'blobs_t']:
+                if key in group:
+                    setattr(self, key, np.array(group[key]))
+
+            self.bounds = [
+                UnitCube.read(fstream['bound_0'], keys=self.keys)]
+            for i in range(1, len(self.shell_n)):
+                self.bounds.append(NautilusBound.read(
+                    fstream['bound_{}'.format(i)], keys=self.keys))
