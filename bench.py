@@ -47,8 +47,11 @@ def main():
     for key in 'abc':
         prior.add_parameter(key)
 
+    # n_batch=500: on remote-dispatch TPU links, each batch costs ~2 round
+    # trips regardless of size; bigger batches amortize them. Candidate
+    # draws and likelihoods are fused on device either way.
     sampler = Sampler(prior, likelihood, n_live=1000, seed=0,
-                      vectorized='jax')
+                      vectorized='jax', n_batch=500)
     t_start = time.time()
     success = sampler.run()
     elapsed = time.time() - t_start

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..ops import geometry as G
 from ..ops.linalg import inv_psd, slogdet_masked, _fix_dropped_dims
-from ..utils.bucket import bucket_size, pad_points
+from ..utils.bucket import bucket_size, pad_batch, pad_points
 from ..utils.keys import KeyStream
 
 
@@ -23,6 +23,47 @@ from ..utils.keys import KeyStream
 def _fit_ellipsoid_jit(points, point_mask, dim_mask, enlarge_per_dim):
     return G.fit_ellipsoid(points, point_mask, dim_mask,
                            enlarge_per_dim=enlarge_per_dim)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fit_ellipsoid_packed(points, point_mask, dim_mask, enlarge_per_dim):
+    """Fit and pack (c | B | B_inv | log_v) into one vector: the host reads
+    the whole result in a single device->host round trip."""
+    p = G.fit_ellipsoid(points, point_mask, dim_mask,
+                        enlarge_per_dim=enlarge_per_dim)
+    return jnp.concatenate([
+        p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+
+
+def unpack_ell(vec, d, dim_mask=None, dim_cube=None):
+    """Unpack a (c | B | B_inv | log_v) vector into a numpy EllParams."""
+    vec = np.asarray(vec, np.float32)
+    if dim_mask is None:
+        dim_mask = np.ones(d, bool)
+    if dim_cube is None:
+        dim_cube = np.zeros(d, bool)
+    return G.EllParams(
+        c=vec[:d],
+        B=vec[d:d + d * d].reshape(d, d),
+        B_inv=vec[d + d * d:d + 2 * d * d].reshape(d, d),
+        dim_mask=np.asarray(dim_mask, bool),
+        dim_cube=np.asarray(dim_cube, bool),
+        log_v=vec[d + 2 * d * d])
+
+
+def fit_ellipsoid_host(points, point_mask, dim_mask, enlarge_per_dim,
+                       dim_cube=None):
+    """Device MVEE fit returning an EllParams with *numpy* leaves.
+
+    Bound geometry is tiny (d x d); keeping it on the host makes every
+    subsequent volume read, overlap test, and stack build free of
+    device round trips. One fetch per fit.
+    """
+    dim_mask = np.asarray(dim_mask, bool)
+    vec = np.asarray(_fit_ellipsoid_packed(
+        points, point_mask, jnp.asarray(dim_mask), float(enlarge_per_dim)),
+        np.float32)
+    return unpack_ell(vec, points.shape[1], dim_mask, dim_cube)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -58,6 +99,46 @@ def _drop_candidate_log_v(points, point_mask, c, a_inv, dim_mask):
 
     log_v = jax.vmap(one)(jnp.arange(d))
     return jnp.where(dim_mask, log_v, jnp.inf)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _ucem_greedy_jit(points, point_mask, enlarge_per_dim):
+    """The cube-ellipsoid mixture's greedy dimension-drop descent as one
+    on-device loop: candidate volumes, argmin, trial refit, accept-if-
+    smaller, repeat — one host round trip for the whole search instead of
+    one per iteration (reference control flow:
+    nautilus/bounds/basic.py:496-528)."""
+    d = points.shape[1]
+
+    def fit(dim_mask):
+        return G.fit_ellipsoid(points, point_mask, dim_mask,
+                               enlarge_per_dim=enlarge_per_dim)
+
+    p0 = fit(jnp.ones(d, bool))
+    state0 = (p0, jnp.zeros(d, bool), jnp.asarray(False),
+              jnp.asarray(0, jnp.int32))
+
+    def cond(state):
+        p, dim_cube, done, it = state
+        return (~done) & (it < d - 1) & (jnp.sum(~dim_cube) > 1)
+
+    def body(state):
+        p, dim_cube, done, it = state
+        a_inv = p.B @ p.B.T
+        cand = _drop_candidate_log_v(points, point_mask, p.c, a_inv,
+                                     ~dim_cube)
+        dim = jnp.argmin(cand)
+        dim_cube_test = dim_cube.at[dim].set(True)
+        p_test = fit(~dim_cube_test)
+        better = p_test.log_v < p.log_v
+        p = jax.tree.map(lambda a, b: jnp.where(better, b, a), p, p_test)
+        dim_cube = jnp.where(better, dim_cube_test, dim_cube)
+        return (p, dim_cube, ~better, it + 1)
+
+    p, dim_cube, _, _ = jax.lax.while_loop(cond, body, state0)
+    return jnp.concatenate([
+        p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None],
+        dim_cube.astype(points.dtype)])
 
 
 class UnitCube:
@@ -134,22 +215,21 @@ class Ellipsoid:
                              'of dimensions.')
 
         pts, mask = pad_points(points)
-        dim_mask = jnp.ones(bound.n_dim, bool)
-        bound.params = _fit_ellipsoid_jit(
-            pts, mask, dim_mask, float(enlarge_per_dim))
+        bound.params = fit_ellipsoid_host(
+            pts, mask, np.ones(bound.n_dim, bool), float(enlarge_per_dim))
         bound.keys = keys if keys is not None else KeyStream()
         return bound
 
     def transform(self, points, inverse=False):
-        points = jnp.asarray(np.atleast_2d(np.asarray(points)))
+        pts, n = pad_batch(points)
         if not inverse:
-            return np.asarray(_ell_transform_jit(self.params, points))
-        return np.asarray(_ell_transform_inv_jit(self.params, points))
+            return np.asarray(_ell_transform_jit(self.params, pts))[:n]
+        return np.asarray(_ell_transform_inv_jit(self.params, pts))[:n]
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
-        points = jnp.asarray(np.atleast_2d(np.asarray(points)))
-        result = np.asarray(_ell_contains_jit(self.params, points))
+        pts, n = pad_batch(points)
+        result = np.asarray(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
@@ -173,12 +253,12 @@ class Ellipsoid:
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])
         bound.params = G.EllParams(
-            c=jnp.asarray(group.attrs['c'], jnp.float32),
-            B=jnp.asarray(group.attrs['B'], jnp.float32),
-            B_inv=jnp.asarray(group.attrs['B_inv'], jnp.float32),
-            dim_mask=jnp.asarray(group.attrs['dim_mask'], bool),
-            dim_cube=jnp.asarray(group.attrs['dim_cube'], bool),
-            log_v=jnp.asarray(group.attrs['log_v'], jnp.float32))
+            c=np.asarray(group.attrs['c'], np.float32),
+            B=np.asarray(group.attrs['B'], np.float32),
+            B_inv=np.asarray(group.attrs['B_inv'], np.float32),
+            dim_mask=np.asarray(group.attrs['dim_mask'], bool),
+            dim_cube=np.asarray(group.attrs['dim_cube'], bool),
+            log_v=np.asarray(group.attrs['log_v'], np.float32))
         return bound
 
     def reset(self, keys=None):
@@ -214,28 +294,16 @@ class UnitCubeEllipsoidMixture:
         pts, mask = pad_points(points)
 
         def fit(dim_cube):
-            dim_mask = jnp.asarray(~dim_cube)
-            return _fit_ellipsoid_jit(pts, mask, dim_mask, enlarge_per_dim)
+            return fit_ellipsoid_host(pts, mask, ~dim_cube, enlarge_per_dim)
 
         # Greedy: start with all dims in the ellipsoid; move dims to the cube
-        # while the volume decreases (reference: basic.py:496-528).
-        dim_cube = np.zeros(n_dim, dtype=bool)
-        params = fit(dim_cube)
+        # while the volume decreases (reference: basic.py:496-528). The whole
+        # descent runs on device in one call.
+        vec = np.asarray(_ucem_greedy_jit(pts, mask, enlarge_per_dim),
+                         np.float32)
+        dim_cube = vec[-n_dim:] > 0.5
+        params = unpack_ell(vec[:-n_dim], n_dim, ~dim_cube, dim_cube)
         log_v = float(params.log_v)
-
-        while np.sum(~dim_cube) > 1:
-            a_inv = params.B @ params.B.T
-            cand = np.asarray(_drop_candidate_log_v(
-                pts, mask, params.c, a_inv, jnp.asarray(~dim_cube)))
-            dim = int(np.argmin(cand))
-            dim_cube[dim] = True
-            params_test = fit(dim_cube)
-            log_v_test = float(params_test.log_v)
-            if log_v_test < log_v:
-                params, log_v = params_test, log_v_test
-            else:
-                dim_cube[dim] = False
-                break
 
         # Fallback: if the ellipsoid is larger than the cube, grow the
         # ellipsoid dimension set from empty (reference: basic.py:535-551).
@@ -258,30 +326,30 @@ class UnitCubeEllipsoidMixture:
             if params is None:
                 params = cls._pure_cube_params(n_dim)
 
-        bound.params = params._replace(dim_cube=jnp.asarray(dim_cube))
+        bound.params = params._replace(dim_cube=np.asarray(dim_cube, bool))
         return bound
 
     @staticmethod
     def _pure_cube_params(n_dim):
-        eye = jnp.eye(n_dim, dtype=jnp.float32)
+        eye = np.eye(n_dim, dtype=np.float32)
         return G.EllParams(
-            c=jnp.zeros(n_dim, jnp.float32), B=eye, B_inv=eye,
-            dim_mask=jnp.zeros(n_dim, bool),
-            dim_cube=jnp.ones(n_dim, bool),
-            log_v=jnp.asarray(0.0, jnp.float32))
+            c=np.zeros(n_dim, np.float32), B=eye, B_inv=eye,
+            dim_mask=np.zeros(n_dim, bool),
+            dim_cube=np.ones(n_dim, bool),
+            log_v=np.asarray(0.0, np.float32))
 
     @property
     def dim_cube(self):
         return np.asarray(self.params.dim_cube)
 
     def transform(self, points):
-        points = jnp.asarray(np.atleast_2d(np.asarray(points)))
-        return np.asarray(_ell_transform_jit(self.params, points))
+        pts, n = pad_batch(points)
+        return np.asarray(_ell_transform_jit(self.params, pts))[:n]
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
-        points = jnp.asarray(np.atleast_2d(np.asarray(points)))
-        result = np.asarray(_ell_contains_jit(self.params, points))
+        pts, n = pad_batch(points)
+        result = np.asarray(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
@@ -307,12 +375,12 @@ class UnitCubeEllipsoidMixture:
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])
         bound.params = G.EllParams(
-            c=jnp.asarray(group.attrs['c'], jnp.float32),
-            B=jnp.asarray(group.attrs['B'], jnp.float32),
-            B_inv=jnp.asarray(group.attrs['B_inv'], jnp.float32),
-            dim_mask=jnp.asarray(group.attrs['dim_mask'], bool),
-            dim_cube=jnp.asarray(group.attrs['dim_cube'], bool),
-            log_v=jnp.asarray(group.attrs['log_v'], jnp.float32))
+            c=np.asarray(group.attrs['c'], np.float32),
+            B=np.asarray(group.attrs['B'], np.float32),
+            B_inv=np.asarray(group.attrs['B_inv'], np.float32),
+            dim_mask=np.asarray(group.attrs['dim_mask'], bool),
+            dim_cube=np.asarray(group.attrs['dim_cube'], bool),
+            log_v=np.asarray(group.attrs['log_v'], np.float32))
         return bound
 
     def reset(self, keys=None):

@@ -18,18 +18,22 @@ from ..ops import geometry as G
 from ..ops.mlp import MLPParams
 from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
     neural_contains_any
-from ..utils.bucket import bucket_size
+from ..utils.bucket import bucket_size, pad_batch
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
 from .periodic import PhaseShift
-from .union import Union
+from .union import Union, _union_contains_jit
 
 
 @partial(jax.jit, static_argnums=(4,))
 def _nautilus_sample_jit(outer_stacked, outer_mask, stack, key, n_points):
-    return nautilus_sample_batch(outer_stacked, outer_mask, stack, key,
-                                 n_points)
+    points, outer_accept, accept = nautilus_sample_batch(
+        outer_stacked, outer_mask, stack, key, n_points)
+    # Single packed output = single host fetch.
+    return jnp.concatenate(
+        [points, outer_accept[:, None].astype(points.dtype),
+         accept[:, None].astype(points.dtype)], axis=1)
 
 
 @jax.jit
@@ -174,17 +178,17 @@ class NautilusBound:
                         biases[k].append(np.zeros_like(
                             np.asarray(ref.params.biases[k])))
                 w_stacked = tuple(
-                    jnp.asarray(np.stack(wk), jnp.float32) for wk in weights)
+                    np.stack(wk).astype(np.float32) for wk in weights)
                 b_stacked = tuple(
-                    jnp.asarray(np.stack(bk), jnp.float32) for bk in biases)
-                mean_arr = jnp.asarray(np.stack(means), jnp.float32)
-                scale_arr = jnp.asarray(np.stack(scales), jnp.float32)
+                    np.stack(bk).astype(np.float32) for bk in biases)
+                mean_arr = np.stack(means).astype(np.float32)
+                scale_arr = np.stack(scales).astype(np.float32)
             else:
                 # No emulators at all (n_networks=0): dummy single-layer net.
-                w_stacked = (jnp.zeros((m_pad, 1, d, 1), jnp.float32),)
-                b_stacked = (jnp.zeros((m_pad, 1, 1), jnp.float32),)
-                mean_arr = jnp.zeros((m_pad, d), jnp.float32)
-                scale_arr = jnp.ones((m_pad, d), jnp.float32)
+                w_stacked = (np.zeros((m_pad, 1, d, 1), np.float32),)
+                b_stacked = (np.zeros((m_pad, 1, 1), np.float32),)
+                mean_arr = np.zeros((m_pad, d), np.float32)
+                scale_arr = np.ones((m_pad, d), np.float32)
                 cuts = [0.0] * m_pad
                 has_nets = [False] * m_pad
 
@@ -192,25 +196,85 @@ class NautilusBound:
                 cuts += [0.0] * (m_pad - len(cuts))
                 has_nets += [False] * (m_pad - len(has_nets))
 
-            self._stack_cache = NeuralStack(
+            # Built on host, uploaded once.
+            self._stack_cache = jax.device_put(NeuralStack(
                 ell=ell_stacked,
                 mean=mean_arr, scale=scale_arr,
                 weights=w_stacked, biases=b_stacked,
-                cut=jnp.asarray(np.asarray(cuts), jnp.float32),
-                has_net=jnp.asarray(np.asarray(has_nets), bool),
-                mode_mask=mode_mask)
+                cut=np.asarray(cuts, np.float32),
+                has_net=np.asarray(has_nets, bool),
+                mode_mask=mode_mask))
         return self._stack_cache
+
+    def stack_parts(self, k_pad, m_pad, e_nets, sizes):
+        """This bound's slot for a whole-run :class:`BoundStack`.
+
+        Pads the outer union to ``k_pad`` members and the neural modes to
+        ``m_pad`` with uniform ensemble shape ``(e_nets, *sizes)`` so every
+        bound stacks into one pytree (see ops/shell_stack.py).
+        """
+        outer_stacked, outer_mask = G.stack_ell_params(
+            self.outer_bound.params_list, k_pad)
+
+        d = self.n_dim
+        n_layers = len(sizes) - 1
+        ell_list = [nb.outer_bound.params for nb in self.neural_bounds]
+        if len(ell_list) == 0:
+            ell_stacked, mode_mask = G.stack_ell_params(
+                [UnitCubeEllipsoidMixture._pure_cube_params(d)], m_pad)
+            mode_mask = np.zeros(m_pad, bool)
+        else:
+            ell_stacked, mode_mask = G.stack_ell_params(ell_list, m_pad)
+
+        means, scales, cuts, has_nets = [], [], [], []
+        weights = [[] for _ in range(n_layers)]
+        biases = [[] for _ in range(n_layers)]
+        for i in range(m_pad):
+            nb = (self.neural_bounds[i]
+                  if i < len(self.neural_bounds) else None)
+            emu = nb.emulator if nb is not None else None
+            means.append(np.asarray(emu.mean) if emu is not None
+                         else np.zeros(d))
+            scales.append(np.asarray(emu.scale) if emu is not None
+                          else np.ones(d))
+            cuts.append(nb.score_predict_min if emu is not None else 0.0)
+            has_nets.append(emu is not None)
+            for k in range(n_layers):
+                if emu is not None:
+                    weights[k].append(np.asarray(emu.params.weights[k]))
+                    biases[k].append(np.asarray(emu.params.biases[k]))
+                else:
+                    weights[k].append(
+                        np.zeros((e_nets, sizes[k], sizes[k + 1])))
+                    biases[k].append(np.zeros((e_nets, sizes[k + 1])))
+
+        neural = NeuralStack(
+            ell=ell_stacked,
+            mean=np.stack(means).astype(np.float32),
+            scale=np.stack(scales).astype(np.float32),
+            weights=tuple(np.stack(w).astype(np.float32) for w in weights),
+            biases=tuple(np.stack(b).astype(np.float32) for b in biases),
+            cut=np.asarray(cuts, np.float32),
+            has_net=np.asarray(has_nets, bool),
+            mode_mask=mode_mask)
+
+        shift = np.zeros(d, np.float32)
+        if self.shift is not None:
+            shift[self.shift.periodic] = 0.5 - self.shift.centers
+        return outer_stacked, outer_mask, neural, shift
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
         points = np.atleast_2d(np.asarray(points, np.float64))
         if self.shift is not None:
             points = self.shift.transform(points)
-        pts = jnp.asarray(points, jnp.float32)
+        pts, n = pad_batch(points)
         stacked, member_mask = self.outer_bound._stacked()
-        in_bound = np.array(G.union_contains(stacked, member_mask, pts))
+        in_bound = np.array(
+            _union_contains_jit(stacked, member_mask, pts, True))[:n]
         if len(self.neural_bounds) > 0:
-            in_bound &= np.asarray(_neural_contains_jit(self._stack(), pts))
+            in_bound &= np.asarray(
+                _neural_contains_jit(self._stack(), pts))[:n]
         return in_bound[0] if single else in_bound
 
     def sample(self, n_points=100, return_points=True, pool=None):
@@ -222,18 +286,18 @@ class NautilusBound:
         """
         while len(self.points) < n_points:
             stacked, member_mask = self.outer_bound._stacked()
-            pts, outer_accept, neural_accept = _nautilus_sample_jit(
+            packed = np.asarray(_nautilus_sample_jit(
                 stacked, member_mask, self._stack(), self.keys.next(),
-                self.SAMPLE_BATCH)
-            outer_accept = np.asarray(outer_accept)
-            neural_accept = np.asarray(neural_accept)
+                self.SAMPLE_BATCH), np.float64)
+            outer_accept = packed[:, -2] > 0.5
+            neural_accept = packed[:, -1] > 0.5
             n_delivered = int(np.sum(outer_accept))
             n_kept = int(np.sum(neural_accept))
             self.outer_bound.n_sample += self.SAMPLE_BATCH
             self.outer_bound.n_reject += self.SAMPLE_BATCH - n_delivered
             self.n_sample += n_delivered
             self.n_reject += n_delivered - n_kept
-            accepted = np.asarray(pts, np.float64)[neural_accept]
+            accepted = packed[:, :-2][neural_accept]
             self.points = np.vstack([self.points, accepted])
 
         if return_points:

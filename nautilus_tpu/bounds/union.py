@@ -18,21 +18,68 @@ from scipy.special import logsumexp
 
 from ..ops import geometry as G
 from ..ops.gmm import fit_gmm2
-from ..utils.bucket import bucket_size, pad_points
+from ..utils.bucket import bucket_size, pad_batch, pad_points
 from ..utils.keys import KeyStream
-from .basic import Ellipsoid, UnitCubeEllipsoidMixture, _fit_ellipsoid_jit, \
-    _ell_transform_jit
+from .basic import Ellipsoid, UnitCubeEllipsoidMixture, fit_ellipsoid_host, \
+    unpack_ell, _ell_transform_jit
 
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _union_sample_jit(stacked, member_mask, key, n_points, unit):
-    return G.union_sample_batch(stacked, member_mask, key, n_points,
-                                unit=unit)
+    points, accept = G.union_sample_batch(stacked, member_mask, key,
+                                          n_points, unit=unit)
+    # Single packed output = single host fetch.
+    return jnp.concatenate(
+        [points, accept[:, None].astype(points.dtype)], axis=1)
 
 
 @partial(jax.jit, static_argnums=(3,))
 def _union_contains_jit(stacked, member_mask, points, unit):
     return G.union_contains(stacked, member_mask, points, unit=unit)
+
+
+@jax.jit
+def _split_gmm_jit(params, points, mask, key):
+    """Member-frame transform + 2-component GMM in one dispatch."""
+    points_t = G.ell_transform(params, points)
+    return fit_gmm2(points_t, mask, key)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _split_ellipsoid_jit(params, points, mask, key, n_points_min,
+                         enlarge_per_dim):
+    """A full ellipsoid split in one dispatch: member-frame transform, GMM,
+    small-cluster reassignment, and both child MVEE fits. Packs children and
+    labels into one vector so the host reads everything in a single round
+    trip (reference control flow: nautilus/bounds/union.py:183-213)."""
+    n, d = points.shape
+    points_t = G.ell_transform(params, points)
+    log_p = fit_gmm2(points_t, mask, key)
+    log_p = jnp.where(mask[:, None], log_p, -jnp.inf)
+    labels = jnp.argmax(log_p, axis=1)
+
+    # Re-assign the highest-probability points to the smaller cluster if it
+    # is too small (reference: union.py:195-197).
+    counts = jnp.stack([jnp.sum(mask & (labels == 0)),
+                        jnp.sum(mask & (labels == 1))])
+    need = jnp.any(counts < n_points_min)
+    small = jnp.argmin(counts)
+    score = jnp.where(small == 0, log_p[:, 0], log_p[:, 1])
+    _, top_idx = jax.lax.top_k(score, min(n_points_min, n))
+    top = jnp.zeros(n, bool).at[top_idx].set(True)
+    labels = jnp.where(need & top, small, labels)
+
+    dim_mask = jnp.ones(d, bool)
+
+    def fit(label):
+        p = G.fit_ellipsoid(points, mask & (labels == label), dim_mask,
+                            enlarge_per_dim=enlarge_per_dim)
+        return jnp.concatenate([
+            p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+
+    packed = jax.vmap(fit)(jnp.arange(2))
+    return jnp.concatenate(
+        [packed.reshape(-1), labels.astype(points.dtype)])
 
 
 def ellipsoids_overlap(params_list):
@@ -118,9 +165,8 @@ class Union:
         """Fit one member bound and return its EllParams."""
         if self.bound_class is Ellipsoid:
             pts, mask = pad_points(points)
-            dim_mask = jnp.ones(self.n_dim, bool)
-            return _fit_ellipsoid_jit(
-                pts, mask, dim_mask, self.enlarge_per_dim)
+            return fit_ellipsoid_host(
+                pts, mask, np.ones(self.n_dim, bool), self.enlarge_per_dim)
         member = UnitCubeEllipsoidMixture.compute(
             points, enlarge_per_dim=self.enlarge_per_dim, keys=self.keys)
         return member.params
@@ -134,7 +180,10 @@ class Union:
     def _stacked(self):
         if self._stacked_cache is None:
             k_pad = bucket_size(len(self.params_list), floor=4)
-            self._stacked_cache = G.stack_ell_params(self.params_list, k_pad)
+            stacked, mask = G.stack_ell_params(self.params_list, k_pad)
+            # One upload per refresh; kernels then reuse device buffers.
+            self._stacked_cache = (jax.device_put(stacked),
+                                   jax.device_put(mask))
         return self._stacked_cache
 
     # ------------------------------------------------------------------ #
@@ -154,22 +203,35 @@ class Union:
 
         index = int(np.argmax(np.where(~self.block, self.log_v_all, -np.inf)))
         points = self.points_bounds[index]
-        pts_t = np.asarray(_ell_transform_jit(
-            self.params_list[index], jnp.asarray(points, jnp.float32)))
+        pts_pad, mask = pad_points(points)
+        d = self.n_dim
 
-        pts_pad, mask = pad_points(pts_t)
-        log_p = np.asarray(fit_gmm2(pts_pad, mask, self.keys.next()))
-        log_p = log_p[:len(points)]
-        labels = np.argmax(log_p, axis=1)
+        if self.bound_class is Ellipsoid:
+            # Fully fused: GMM + reassignment + both child fits, one round
+            # trip.
+            vec = np.asarray(_split_ellipsoid_jit(
+                self.params_list[index], pts_pad, mask, self.keys.next(),
+                int(self.n_points_min), self.enlarge_per_dim), np.float64)
+            n_packed = d + 2 * d * d + 1
+            new_params = [unpack_ell(vec[i * n_packed:(i + 1) * n_packed], d)
+                          for i in range(2)]
+            labels = vec[2 * n_packed:][:len(points)].astype(int)
+        else:
+            log_p = np.asarray(_split_gmm_jit(
+                self.params_list[index], pts_pad, mask,
+                self.keys.next()))[:len(points)]
+            labels = np.argmax(log_p, axis=1)
 
-        # Re-assign points to the smaller cluster if it is too small.
-        counts = np.bincount(labels, minlength=2)
-        if not np.all(counts >= self.n_points_min):
-            label = int(np.argmin(counts))
-            labels[np.argsort(-log_p[:, label])[:self.n_points_min]] = label
+            # Re-assign points to the smaller cluster if it is too small.
+            counts = np.bincount(labels, minlength=2)
+            if not np.all(counts >= self.n_points_min):
+                label = int(np.argmin(counts))
+                labels[np.argsort(
+                    -log_p[:, label])[:self.n_points_min]] = label
 
-        new_params = [
-            self._fit_member(points[labels == label]) for label in [0, 1]]
+            new_params = [
+                self._fit_member(points[labels == label])
+                for label in [0, 1]]
 
         if not allow_overlap and ellipsoids_overlap(
                 self.params_list[:index] + self.params_list[index + 1:] +
@@ -221,10 +283,10 @@ class Union:
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
-        points = jnp.asarray(np.atleast_2d(np.asarray(points)), jnp.float32)
+        pts, n = pad_batch(points)
         stacked, member_mask = self._stacked()
         result = np.asarray(_union_contains_jit(
-            stacked, member_mask, points, self.unit))
+            stacked, member_mask, pts, self.unit))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
@@ -236,11 +298,11 @@ class Union:
         """
         while len(self.points) < n_points:
             stacked, member_mask = self._stacked()
-            batch, accept = _union_sample_jit(
+            packed = np.asarray(_union_sample_jit(
                 stacked, member_mask, self.keys.next(), self.SAMPLE_BATCH,
-                self.unit)
-            accept = np.asarray(accept)
-            batch = np.asarray(batch, np.float64)[accept]
+                self.unit), np.float64)
+            accept = packed[:, -1] > 0.5
+            batch = packed[:, :-1][accept]
             self.points = np.vstack([self.points, batch])
             self.n_sample += self.SAMPLE_BATCH
             self.n_reject += self.SAMPLE_BATCH - len(batch)
@@ -306,12 +368,12 @@ class Union:
         for i in range(n_members):
             sub = group['member_{}'.format(i)]
             bound.params_list.append(G.EllParams(
-                c=jnp.asarray(sub.attrs['c'], jnp.float32),
-                B=jnp.asarray(sub.attrs['B'], jnp.float32),
-                B_inv=jnp.asarray(sub.attrs['B_inv'], jnp.float32),
-                dim_mask=jnp.asarray(sub.attrs['dim_mask'], bool),
-                dim_cube=jnp.asarray(sub.attrs['dim_cube'], bool),
-                log_v=jnp.asarray(sub.attrs['log_v'], jnp.float32)))
+                c=np.asarray(sub.attrs['c'], np.float32),
+                B=np.asarray(sub.attrs['B'], np.float32),
+                B_inv=np.asarray(sub.attrs['B_inv'], np.float32),
+                dim_mask=np.asarray(sub.attrs['dim_mask'], bool),
+                dim_cube=np.asarray(sub.attrs['dim_cube'], bool),
+                log_v=np.asarray(sub.attrs['log_v'], np.float32)))
         bound.points_bounds = [
             np.array(group['points_bound_{}'.format(i)])
             for i in range(n_members)]

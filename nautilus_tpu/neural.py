@@ -11,11 +11,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ops.mlp import MLPParams, train_mlp_ensemble, ensemble_predict
-from .utils.bucket import bucket_size
+from .ops.mlp import MLPParams, train_mlp_ensemble_packed, \
+    unflatten_params, ensemble_predict
+from .utils.bucket import bucket_size, pad_batch
 
 
 DEFAULT_HIDDEN = (100, 50, 20)
+
+_ensemble_predict_jit = jax.jit(ensemble_predict)
 
 
 class NeuralNetworkEmulator:
@@ -78,18 +81,21 @@ class NeuralNetworkEmulator:
             key = jax.random.key(np.random.default_rng().integers(2**31))
 
         sizes = (x.shape[1],) + hidden + (1,)
-        emulator.params, _ = train_mlp_ensemble(
+        flat, _ = train_mlp_ensemble_packed(
             jnp.asarray(x_pad, jnp.float32), jnp.asarray(y_pad, jnp.float32),
             jnp.asarray(mask), key, sizes, n_networks=n_networks,
             batch_size=int(batch_size), lr=lr, max_epochs=max_epochs,
             n_iter_no_change=n_iter_no_change)
+        # Single fetch; parameters live on host for stack building.
+        emulator.params = unflatten_params(flat, sizes)
         return emulator
 
     def predict(self, x):
         """Ensemble-mean prediction for raw (unstandardized) inputs."""
         x = np.atleast_2d(np.asarray(x, np.float64))
-        x_t = jnp.asarray((x - self.mean) / self.scale, jnp.float32)
-        return np.asarray(ensemble_predict(self.params, x_t), np.float64)
+        x_t, n = pad_batch((x - self.mean) / self.scale)
+        return np.asarray(
+            _ensemble_predict_jit(self.params, x_t), np.float64)[:n]
 
     def write(self, group):
         group.attrs['n_networks'] = self.n_networks
@@ -114,10 +120,10 @@ class NeuralNetworkEmulator:
         biases = []
         k = 0
         while 'weights_{}'.format(k) in group:
-            weights.append(jnp.asarray(
-                np.array(group['weights_{}'.format(k)]), jnp.float32))
-            biases.append(jnp.asarray(
-                np.array(group['biases_{}'.format(k)]), jnp.float32))
+            weights.append(
+                np.array(group['weights_{}'.format(k)], dtype=np.float32))
+            biases.append(
+                np.array(group['biases_{}'.format(k)], dtype=np.float32))
             k += 1
         emulator.params = MLPParams(tuple(weights), tuple(biases))
         return emulator

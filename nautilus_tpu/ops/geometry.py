@@ -125,30 +125,36 @@ def stack_ell_params(params_list, k_pad=None):
     """Stack a list of EllParams into one leading-axis pytree plus mask.
 
     Padded slots are unit balls with zero log-volume weight (mask False).
+    Built entirely on the host (numpy leaves): on hardware behind a
+    dispatch-latency tunnel, per-leaf eager device ops here would dominate
+    the sampler's bound bookkeeping. Callers upload the finished stack once
+    (``jax.device_put``) or let ``jit`` convert at call time.
     """
+    import numpy as np
+
     k = len(params_list)
     if k_pad is None:
         k_pad = k
     assert k_pad >= k
-    d = params_list[0].c.shape[0]
-    dtype = params_list[0].c.dtype
+    d = np.shape(params_list[0].c)[0]
+    dtype = np.float32
 
-    def pad_stack(getter, pad_value):
-        arrs = [getter(p) for p in params_list]
+    def pad_stack(getter, pad_value, out_dtype):
+        arrs = [np.asarray(getter(p), out_dtype) for p in params_list]
         arrs += [pad_value] * (k_pad - k)
-        return jnp.stack(arrs)
+        return np.stack(arrs)
 
-    eye = jnp.eye(d, dtype=dtype)
+    eye = np.eye(d, dtype=dtype)
     stacked = EllParams(
-        c=pad_stack(lambda p: p.c, jnp.zeros(d, dtype)),
-        B=pad_stack(lambda p: p.B, eye),
-        B_inv=pad_stack(lambda p: p.B_inv, eye),
-        dim_mask=pad_stack(lambda p: p.dim_mask, jnp.ones(d, bool)),
-        dim_cube=pad_stack(lambda p: p.dim_cube, jnp.zeros(d, bool)),
+        c=pad_stack(lambda p: p.c, np.zeros(d, dtype), dtype),
+        B=pad_stack(lambda p: p.B, eye, dtype),
+        B_inv=pad_stack(lambda p: p.B_inv, eye, dtype),
+        dim_mask=pad_stack(lambda p: p.dim_mask, np.ones(d, bool), bool),
+        dim_cube=pad_stack(lambda p: p.dim_cube, np.zeros(d, bool), bool),
         log_v=pad_stack(lambda p: p.log_v,
-                        jnp.asarray(-jnp.inf, dtype)),
+                        np.asarray(-np.inf, dtype), dtype),
     )
-    member_mask = jnp.arange(k_pad) < k
+    member_mask = np.arange(k_pad) < k
     return stacked, member_mask
 
 

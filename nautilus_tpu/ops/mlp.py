@@ -167,3 +167,45 @@ def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
     state = jax.lax.while_loop(cond, body, state)
     params, t = state[0], state[3]
     return params, t // n_batches
+
+
+@partial(jax.jit,
+         static_argnames=('sizes', 'n_networks', 'batch_size', 'max_epochs',
+                          'n_iter_no_change'))
+def train_mlp_ensemble_packed(x, y, mask, key, sizes, n_networks=4,
+                              batch_size=200, lr=1e-2, max_epochs=3000,
+                              n_iter_no_change=10):
+    """:func:`train_mlp_ensemble`, with all parameters flattened into one
+    (n_networks, n_params) array so the host reads the trained ensemble in a
+    single device->host round trip. Unpack with :func:`unflatten_params`."""
+    params, n_epochs = train_mlp_ensemble(
+        x, y, mask, key, sizes, n_networks=n_networks,
+        batch_size=batch_size, lr=lr, max_epochs=max_epochs,
+        n_iter_no_change=n_iter_no_change)
+    flat = jnp.concatenate(
+        [w.reshape(n_networks, -1) for w in params.weights] +
+        [b.reshape(n_networks, -1) for b in params.biases], axis=1)
+    return flat, n_epochs
+
+
+def unflatten_params(flat, sizes):
+    """Invert the packing of :func:`train_mlp_ensemble_packed` (host side).
+
+    Returns an MLPParams of numpy arrays with a leading ensemble axis.
+    """
+    import numpy as np
+    flat = np.asarray(flat)
+    e = flat.shape[0]
+    weights = []
+    biases = []
+    offset = 0
+    for k in range(len(sizes) - 1):
+        n = sizes[k] * sizes[k + 1]
+        weights.append(flat[:, offset:offset + n].reshape(
+            e, sizes[k], sizes[k + 1]))
+        offset += n
+    for k in range(len(sizes) - 1):
+        n = sizes[k + 1]
+        biases.append(flat[:, offset:offset + n].reshape(e, sizes[k + 1]))
+        offset += n
+    return MLPParams(tuple(weights), tuple(biases))

@@ -1,0 +1,134 @@
+"""Whole-run bound stack: every bound of the sampler in one pytree.
+
+The sampler's hot loop — draw candidates from shell i's bound, reject
+candidates that belong to a later shell, evaluate the likelihood — touches
+every bound. On hardware where each host<->device round trip costs
+milliseconds, dispatching one kernel per bound (as a direct translation of
+the reference's per-bound Python loop would; reference:
+nautilus/sampler.py:751-830) is latency-bound. Instead, all bounds are
+stacked along a leading axis: the unit cube is slot 0 (represented as a
+cube-only :class:`~nautilus_tpu.ops.geometry.EllParams`), every
+NautilusBound occupies one slot with its outer union padded to a common
+member count and its neural modes padded to a common mode count. One fused
+program then samples from the bound selected by a *traced* index (so a
+single compiled executable serves every shell), computes the full
+(bounds x points) membership matrix, applies the shell rejection, and
+optionally evaluates the user likelihood on the same batch.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import geometry as G
+from .mlp import MLPParams, mlp_forward
+from .neural_stack import NeuralStack
+
+
+class BoundStack(NamedTuple):
+    """All bounds of a run, stacked (leading axis: bound slot)."""
+
+    outer: G.EllParams    # leaves (B, K, ...): stacked outer unions
+    outer_mask: jax.Array  # (B, K) bool: valid members per bound
+    neural: NeuralStack   # leaves (B, M, ...), weights (B, M, E, ...)
+    shift: jax.Array      # (B, d): mod-1 phase shift of periodic dims
+    bound_mask: jax.Array  # (B,) bool: valid bound slots
+
+
+def _slice_pytree(tree, index):
+    """Dynamic-index the leading axis of every leaf (shapes stay static)."""
+    return jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+        a, index, axis=0, keepdims=False), tree)
+
+
+def _neural_contains(neural, points):
+    """(M-masked) neural-bound membership for one bound slot.
+
+    Same math as :func:`nautilus_tpu.ops.neural_stack.neural_contains_any`.
+    """
+
+    def one_mode(ell, mean, scale, wb, cut, has_net):
+        in_ell = G.ell_contains(ell, points)
+        t = G.ell_transform(ell, points)
+        z = (t - mean) / scale
+        weights, biases = wb
+        preds = jax.vmap(
+            lambda w, b: mlp_forward(MLPParams(w, b), z))(weights, biases)
+        score = jnp.mean(preds, axis=0)
+        score_ok = score > cut - 1e-9
+        return in_ell & (score_ok | ~has_net)
+
+    per_mode = jax.vmap(one_mode)(
+        neural.ell, neural.mean, neural.scale,
+        (neural.weights, neural.biases), neural.cut, neural.has_net)
+    per_mode = per_mode & neural.mode_mask[:, None]
+    # A bound with zero valid modes (the unit-cube slot) imposes no neural
+    # cut at all.
+    any_mode = jnp.any(per_mode, axis=0)
+    no_modes = ~jnp.any(neural.mode_mask)
+    return any_mode | no_modes
+
+
+def bound_contains_matrix(stack, points):
+    """Membership of each point in each bound: (B, n_points) bool.
+
+    One fused computation replacing a Python loop of per-bound ``contains``
+    dispatches (reference: nautilus/sampler.py:796-801, 1192-1221,
+    1223-1251).
+    """
+
+    def one_bound(outer, outer_mask, neural, shift):
+        pts = jnp.mod(points + shift, 1.0)
+        in_outer = G.union_contains(outer, outer_mask, pts, unit=True)
+        return in_outer & _neural_contains(neural, pts)
+
+    member = jax.vmap(one_bound)(
+        stack.outer, stack.outer_mask, stack.neural, stack.shift)
+    return member & stack.bound_mask[:, None]
+
+
+def shell_association_from_matrix(member, bound_mask):
+    """Innermost (highest-index) bound containing each point; -1 if none."""
+    b = member.shape[0]
+    idx = jnp.arange(b)[:, None]
+    return jnp.max(jnp.where(member, idx, -1), axis=0)
+
+
+def sample_shell_batch(stack, index, key, n_points):
+    """One fused candidate batch for shell ``index``.
+
+    Draws ``n_points`` candidates from bound ``index`` (a traced integer —
+    one executable serves every shell), applies that bound's own neural
+    rejection, and rejects candidates lying inside any later bound (the
+    shell definition, reference: nautilus/sampler.py:790-801).
+
+    Returns
+    -------
+    points : (n_points, d)
+    outer_accept : (n_points,) bool — delivered by the outer union (raw
+        draws minus overlap/cube rejections); feeds the outer union's
+        MC-volume counters.
+    self_accept : (n_points,) bool — also inside the bound's neural gate
+        (= "delivered by bound.sample" in the reference's bookkeeping).
+    shell_accept : (n_points,) bool — inside the shell (not in any later
+        bound).
+    member : (B, n_points) bool — full membership matrix (for shell
+        association on the host; dead-code-eliminated if unused).
+    """
+    own = _slice_pytree(stack, index)
+
+    # Draw in the sampled bound's (possibly phase-shifted) frame, gate by
+    # its own neural bounds there, then map back to the common frame.
+    points_s, outer_accept = G.union_sample_batch(
+        own.outer, own.outer_mask, key, n_points, unit=True)
+    self_accept = outer_accept & _neural_contains(own.neural, points_s)
+    points = jnp.mod(points_s - own.shift, 1.0)
+
+    member = bound_contains_matrix(stack, points)
+    b = member.shape[0]
+    later = (jnp.arange(b) > index)[:, None] & stack.bound_mask[:, None]
+    in_later = jnp.any(member & later, axis=0)
+    shell_accept = self_accept & ~in_later
+
+    return points, outer_accept, self_accept, shell_accept, member

@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 
 from .bounds import UnitCube, NautilusBound
+from .bounds.basic import UnitCubeEllipsoidMixture
+from .neural import DEFAULT_HIDDEN
+from .ops import geometry as G
+from .ops.neural_stack import NeuralStack
+from .ops.shell_stack import BoundStack, sample_shell_batch
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size
@@ -120,6 +125,8 @@ class Sampler:
         self.mesh = mesh
 
         self._jax_eval_cache = {}
+        self._bound_stack = None
+        self._fused_step_fn = None
 
         # Run state.
         self.n_like = 0
@@ -200,6 +207,7 @@ class Sampler:
                     # Remove unoccupied shells: they hold ~zero volume and
                     # may never yield a point.
                     if np.any(self.shell_n == 0):
+                        self._bound_stack = None
                         for shell in np.flatnonzero(self.shell_n == 0)[::-1]:
                             self.bounds.pop(shell)
                             self.points.pop(shell)
@@ -302,6 +310,7 @@ class Sampler:
                     success = False
 
         if success:
+            self._bound_stack = None
             self.shell_n = np.append(self.shell_n, 0)
             self.shell_n_sample = np.append(self.shell_n_sample, 0)
             self.shell_n_eff = np.append(self.shell_n_eff, 0)
@@ -325,8 +334,17 @@ class Sampler:
             log_l_t = []
             blobs_t = [] if self.blobs is not None else None
 
-            for shell in range(len(self.bounds) - 1):
-                in_bound = self.bounds[-1].contains(self.points[shell])
+            # One fused containment call over every shell's points instead
+            # of one dispatch per shell (latency-bound on remote devices).
+            n_shells = len(self.bounds) - 1
+            offsets = np.cumsum([0] + [len(self.points[shell])
+                                       for shell in range(n_shells)])
+            in_bound_all = self.bounds[-1].contains(
+                np.concatenate([self.points[shell]
+                                for shell in range(n_shells)]))
+
+            for shell in range(n_shells):
+                in_bound = in_bound_all[offsets[shell]:offsets[shell + 1]]
                 shell_t.append(np.repeat(shell, np.sum(in_bound)))
                 points_t.append(self.points[shell][in_bound])
                 self.points[shell] = self.points[shell][~in_bound]
@@ -404,23 +422,26 @@ class Sampler:
     # ------------------------------------------------------------------ #
     # likelihood evaluation
 
+    def _jax_transform(self):
+        """Jittable unit-cube -> physical transform for the device path."""
+        if callable(self.prior):
+            return self.prior
+        elif isinstance(self.prior, Prior) and self.prior.is_uniform():
+            lo, hi = self.prior.uniform_bounds()
+            lo = jnp.asarray(lo)
+            hi = jnp.asarray(hi)
+
+            def transform(u):
+                return lo + (hi - lo) * u
+            return transform
+        raise ValueError(
+            "vectorized='jax' requires a callable prior or an "
+            "all-uniform Prior instance.")
+
     def _jax_eval(self, n):
         """Compiled prior-transform + likelihood for a padded batch size."""
         if n not in self._jax_eval_cache:
-            if callable(self.prior):
-                transform = self.prior
-            elif isinstance(self.prior, Prior) and self.prior.is_uniform():
-                lo, hi = self.prior.uniform_bounds()
-                lo = jnp.asarray(lo)
-                hi = jnp.asarray(hi)
-
-                def transform(u):
-                    return lo + (hi - lo) * u
-            else:
-                raise ValueError(
-                    "vectorized='jax' requires a callable prior or an "
-                    "all-uniform Prior instance.")
-
+            transform = self._jax_transform()
             likelihood = self.likelihood
 
             if self.mesh is not None:
@@ -440,6 +461,254 @@ class Sampler:
 
             self._jax_eval_cache[n] = evaluate
         return self._jax_eval_cache[n]
+
+    # ------------------------------------------------------------------ #
+    # fused device path
+
+    SHELL_BATCH = 2048
+
+    def _mlp_sizes(self):
+        hidden = tuple(self.neural_network_kwargs.get(
+            'hidden_layer_sizes', DEFAULT_HIDDEN))
+        return (self.n_dim,) + hidden + (1,)
+
+    def _cube_stack_parts(self, k_pad, m_pad, e_nets, sizes):
+        """Bound-stack slot for the unit cube (slot 0 of every run)."""
+        d = self.n_dim
+        cube = UnitCubeEllipsoidMixture._pure_cube_params(d)
+        outer_stacked, _ = G.stack_ell_params([cube], k_pad)
+        outer_mask = np.arange(k_pad) < 1
+        n_layers = len(sizes) - 1
+        ell_stacked, _ = G.stack_ell_params([cube], m_pad)
+        neural = NeuralStack(
+            ell=ell_stacked,
+            mean=np.zeros((m_pad, d), np.float32),
+            scale=np.ones((m_pad, d), np.float32),
+            weights=tuple(np.zeros(
+                (m_pad, e_nets, sizes[k], sizes[k + 1]), np.float32)
+                for k in range(n_layers)),
+            biases=tuple(np.zeros(
+                (m_pad, e_nets, sizes[k + 1]), np.float32)
+                for k in range(n_layers)),
+            cut=np.zeros(m_pad, np.float32),
+            has_net=np.zeros(m_pad, bool),
+            mode_mask=np.zeros(m_pad, bool))
+        return outer_stacked, outer_mask, neural, np.zeros(d, np.float32)
+
+    def _ensure_stack(self):
+        """Whole-run BoundStack: every bound in one padded pytree.
+
+        Rebuilt whenever the bound list changes; shapes are bucketed so XLA
+        compiles only a handful of executables per run.
+        """
+        if self._bound_stack is None:
+            e_nets = max(self.n_networks, 1)
+            sizes = self._mlp_sizes()
+            k_max = max([1] + [len(b.outer_bound.params_list)
+                               for b in self.bounds[1:]])
+            m_max = max([1] + [len(b.neural_bounds)
+                               for b in self.bounds[1:]])
+            # Generous floors: membership kernels are cheap relative to a
+            # recompile, so pick pads that one executable usually serves the
+            # whole run.
+            k_pad = bucket_size(k_max, floor=8)
+            m_pad = bucket_size(m_max, floor=4)
+            b_pad = bucket_size(len(self.bounds), floor=8)
+
+            parts = [self._cube_stack_parts(k_pad, m_pad, e_nets, sizes)]
+            for bound in self.bounds[1:]:
+                parts.append(bound.stack_parts(k_pad, m_pad, e_nets, sizes))
+            while len(parts) < b_pad:
+                parts.append(parts[0])
+
+            outer = jax.tree.map(
+                lambda *xs: np.stack(xs), *[p[0] for p in parts])
+            outer_mask = np.stack([p[1] for p in parts])
+            neural = jax.tree.map(
+                lambda *xs: np.stack(xs), *[p[2] for p in parts])
+            shift = np.stack([p[3] for p in parts])
+            bound_mask = np.arange(b_pad) < len(self.bounds)
+            # Built on host, uploaded once; device buffers are then reused
+            # by every fused batch until the bound list changes.
+            self._bound_stack = jax.device_put(BoundStack(
+                outer=outer, outer_mask=outer_mask, neural=neural,
+                shift=shift, bound_mask=bound_mask))
+        return self._bound_stack
+
+    def _fused_step(self):
+        """One compiled program: sample shell candidates, reject through the
+        whole bound stack, and (for jittable likelihoods) evaluate the
+        likelihood — a single dispatch + a single host fetch per batch."""
+        if self._fused_step_fn is None:
+            if self.vectorized == 'jax':
+                transform = self._jax_transform()
+                likelihood = self.likelihood
+            else:
+                transform = likelihood = None
+            n = self.SHELL_BATCH
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sharding = NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+            else:
+                sharding = None
+
+            @jax.jit
+            def step(stack, index, key):
+                points, outer_acc, self_acc, shell_acc, member = \
+                    sample_shell_batch(stack, index, key, n)
+                if sharding is not None:
+                    points = jax.lax.with_sharding_constraint(
+                        points, sharding)
+                if likelihood is not None:
+                    result = likelihood(transform(points))
+                else:
+                    result = jnp.zeros(points.shape[0], jnp.float32)
+                blobs = result[1:] if isinstance(result, tuple) else ()
+                log_l = result[0] if isinstance(result, tuple) else result
+                # Pack every per-point output into one array so the host
+                # needs a single fetch (one round trip) per batch.
+                packed = jnp.concatenate([
+                    points.astype(jnp.float32),
+                    log_l[:, None].astype(jnp.float32),
+                    outer_acc[:, None].astype(jnp.float32),
+                    self_acc[:, None].astype(jnp.float32),
+                    shell_acc[:, None].astype(jnp.float32),
+                    member.T.astype(jnp.float32)], axis=1)
+                return (packed,) + blobs
+
+            self._fused_step_fn = step
+        return self._fused_step_fn
+
+    def _add_samples_device(self, shell):
+        """Fill one batch of shell ``shell`` through the fused device path.
+
+        One dispatch + one host fetch per candidate block: candidates are
+        drawn (and, for ``vectorized='jax'``, their likelihoods
+        speculatively computed) in fixed blocks of ``SHELL_BATCH``,
+        truncated to the prefix delivering exactly ``n_batch`` shell points
+        — an admissible stopping rule for every counter-based MC estimate
+        downstream. Transfer-point substitution (reference:
+        nautilus/sampler.py:804-819) reuses the membership matrix computed
+        on device instead of per-bound ``contains`` dispatches.
+        """
+        index = shell if shell >= 0 else len(self.bounds) - 1
+        stack = self._ensure_stack()
+        step = self._fused_step()
+        bound = self.bounds[index]
+        fused_like = self.vectorized == 'jax'
+        use_transfer = shell == -1 and len(self.shell_t) > 0
+
+        kept_points = []
+        kept_log_l = []
+        kept_blobs = None
+        idx_t = np.zeros(0, dtype=int)
+        n_kept = 0
+        n_bound = 0
+        d = self.n_dim
+        while n_kept < self.n_batch:
+            fetched = jax.device_get(step(stack, index, self.keys.next()))
+            packed = np.asarray(fetched[0], np.float64)
+            points = packed[:, :d]
+            log_l_all = packed[:, d]
+            outer_acc = packed[:, d + 1] > 0.5
+            self_acc = packed[:, d + 2] > 0.5
+            shell_acc = packed[:, d + 3] > 0.5
+            member = (packed[:, d + 4:] > 0.5).T
+
+            csum = np.cumsum(shell_acc)
+            missing = self.n_batch - n_kept
+            if csum[-1] >= missing:
+                cut = int(np.searchsorted(csum, missing)) + 1
+            else:
+                cut = len(shell_acc)
+            outer_acc = outer_acc[:cut]
+            self_acc = self_acc[:cut]
+            sel = shell_acc[:cut]
+
+            n_outer = int(np.sum(outer_acc))
+            n_self = int(np.sum(self_acc))
+            if index > 0:
+                bound.outer_bound.n_sample += cut
+                bound.outer_bound.n_reject += cut - n_outer
+                bound.n_sample += n_outer
+                bound.n_reject += n_outer - n_self
+            n_bound += n_self
+            n_kept += int(np.sum(sel))
+
+            points_del = points[:cut][sel]
+            if fused_like:
+                log_l_del = log_l_all[:cut][sel]
+                cols_del = ([np.asarray(b)[:cut][sel] for b in fetched[1:]]
+                            if len(fetched) > 1 else None)
+            else:
+                log_l_del = None
+                cols_del = None
+
+            # Substitute transfer points: fresh points whose innermost old
+            # bound matches a transfer candidate's origin shell are replaced
+            # so the old likelihood evaluations are reused.
+            if use_transfer:
+                n_old = len(self.bounds) - 1
+                mrows = member[:n_old, :cut][:, sel]
+                shell_p = np.where(
+                    mrows.any(axis=0),
+                    n_old - 1 - np.argmax(mrows[::-1], axis=0), -1)
+                replace = np.zeros(len(points_del), dtype=bool)
+                for sh in range(n_old):
+                    idx_1 = np.flatnonzero(self.shell_t == sh)
+                    idx_2 = np.flatnonzero(shell_p == sh)
+                    n_sub = min(len(idx_1), len(idx_2))
+                    if n_sub > 0:
+                        chosen = self.rng.choice(
+                            idx_1, size=n_sub, replace=False)
+                        idx_t = np.append(idx_t, chosen)
+                        self.shell_t[chosen] = -1
+                        replace[self.rng.choice(
+                            idx_2, size=n_sub, replace=False)] = True
+                points_del = points_del[~replace]
+                if log_l_del is not None:
+                    log_l_del = log_l_del[~replace]
+                if cols_del is not None:
+                    cols_del = [c[~replace] for c in cols_del]
+
+            kept_points.append(points_del)
+            if log_l_del is not None:
+                kept_log_l.append(log_l_del)
+            if cols_del is not None:
+                if kept_blobs is None:
+                    kept_blobs = [[c] for c in cols_del]
+                else:
+                    for i, c in enumerate(cols_del):
+                        kept_blobs[i].append(c)
+
+        points = np.concatenate(kept_points)
+        if fused_like:
+            log_l = np.concatenate(kept_log_l)
+            self.n_like += len(log_l)
+            if kept_blobs is not None:
+                blobs = self._pack_blobs(
+                    [np.concatenate(c) for c in kept_blobs])
+            else:
+                blobs = None
+        else:
+            log_l, blobs = self.evaluate_likelihood(points)
+
+        # The exploration progress counter includes only freshly evaluated
+        # points (reference: nautilus/sampler.py:447, 1144).
+        n_fresh_above = int(np.sum(
+            log_l >= self.shell_log_l_min[shell]))
+
+        # Reused transfer points join the shell with their stored
+        # likelihoods (reference: nautilus/sampler.py:1116-1128).
+        if len(idx_t) > 0:
+            points = np.concatenate((self.points_t[idx_t], points))
+            log_l = np.concatenate((self.log_l_t[idx_t], log_l))
+            if blobs is not None:
+                blobs = np.concatenate((self.blobs_t[idx_t], blobs))
+
+        self.shell_n_sample[shell] += n_bound
+        return points, log_l, blobs, n_fresh_above
 
     def evaluate_likelihood(self, points):
         """Evaluate the likelihood for a batch of unit-cube points.
@@ -502,18 +771,23 @@ class Sampler:
         if blobs_list is not None:
             cols = [np.array([row[col] for row in blobs_list])
                     for col in range(len(blobs_list[0]))]
-            if self.blobs_dtype is None:
-                if len(cols) > 1:
-                    self.blobs_dtype = [
-                        ('blob_{}'.format(i), b.dtype)
-                        for i, b in enumerate(cols)]
-                else:
-                    self.blobs_dtype = cols[0].dtype
-            blobs = np.squeeze(np.array(
-                list(zip(*cols)), dtype=self.blobs_dtype))
+            blobs = self._pack_blobs(cols)
 
         self.n_like += len(log_l)
         return log_l, blobs
+
+    def _pack_blobs(self, cols):
+        """Pack per-point blob columns into a (structured) array, inferring
+        ``blobs_dtype`` on first use (reference: sampler.py:876-904)."""
+        if self.blobs_dtype is None:
+            if len(cols) > 1:
+                self.blobs_dtype = [
+                    ('blob_{}'.format(i), b.dtype)
+                    for i, b in enumerate(cols)]
+            else:
+                self.blobs_dtype = cols[0].dtype
+        return np.squeeze(np.array(
+            list(zip(*cols)), dtype=self.blobs_dtype))
 
     def add_samples(self, shell, verbose=False):
         """Add one batch of samples to a shell.
@@ -523,7 +797,12 @@ class Sampler:
         if verbose:
             self.print_status('Sampling', end='\r')
 
-        if shell == -1 and len(self.shell_t) > 0:
+        if self.vectorized == 'jax':
+            points, log_l, blobs, n_fresh_above = \
+                self._add_samples_device(shell)
+            if verbose:
+                self.print_status('Computing', end='\r')
+        elif shell == -1 and len(self.shell_t) > 0:
             points, n_bound, idx_t = self.sample_shell(-1, self.shell_t)
             assert len(points) + len(idx_t) == n_bound
             if verbose:
@@ -541,8 +820,9 @@ class Sampler:
             if verbose:
                 self.print_status('Computing', end='\r')
 
-        self.shell_n_sample[shell] += n_bound
-        log_l, blobs = self.evaluate_likelihood(points)
+        if self.vectorized != 'jax':
+            self.shell_n_sample[shell] += n_bound
+            log_l, blobs = self.evaluate_likelihood(points)
         self.points[shell] = np.append(self.points[shell], points, axis=0)
         self.log_l[shell] = np.append(self.log_l[shell], log_l, axis=0)
         if blobs is not None:
@@ -553,6 +833,8 @@ class Sampler:
                     self.blobs[shell], blobs, axis=0)
         self.update_shell_info(shell)
 
+        if self.vectorized == 'jax':
+            return n_fresh_above
         return np.sum(log_l >= self.shell_log_l_min[shell])
 
     def update_shell_info(self, index):
@@ -936,3 +1218,4 @@ class Sampler:
             for i in range(1, len(self.shell_n)):
                 self.bounds.append(NautilusBound.read(
                     fstream['bound_{}'.format(i)], keys=self.keys))
+            self._bound_stack = None

@@ -19,6 +19,23 @@ def bucket_size(n, floor=64):
     return size
 
 
+def pad_batch(points, floor=64, dtype=None):
+    """Pad the leading axis of an (n, d) host array to a bucket size.
+
+    Unlike :func:`pad_points` no mask is returned: use this for kernels whose
+    per-point outputs are simply sliced back to ``n`` (contains/transform/
+    predict). Returns ``(padded, n)``.
+    """
+    points = np.atleast_2d(np.asarray(points))
+    n, d = points.shape
+    m = bucket_size(n, floor)
+    if dtype is None:
+        dtype = jnp.float32
+    out = np.zeros((m, d), dtype=np.float64)
+    out[:n] = points
+    return jnp.asarray(out, dtype), n
+
+
 def pad_points(points, floor=64, dtype=None):
     """Pad an (n, d) host array to a bucketed (m, d) array plus mask.
 
