@@ -101,13 +101,13 @@ def _drop_candidate_log_v(points, point_mask, c, a_inv, dim_mask):
     return jnp.where(dim_mask, log_v, jnp.inf)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _ucem_greedy_jit(points, point_mask, enlarge_per_dim):
+def ucem_greedy(points, point_mask, enlarge_per_dim):
     """The cube-ellipsoid mixture's greedy dimension-drop descent as one
     on-device loop: candidate volumes, argmin, trial refit, accept-if-
     smaller, repeat — one host round trip for the whole search instead of
     one per iteration (reference control flow:
-    nautilus/bounds/basic.py:496-528)."""
+    nautilus/bounds/basic.py:496-528). Pure and jittable; returns the
+    packed vector (c | B | B_inv | log_v | dim_cube)."""
     d = points.shape[1]
 
     def fit(dim_mask):
@@ -139,6 +139,9 @@ def _ucem_greedy_jit(points, point_mask, enlarge_per_dim):
     return jnp.concatenate([
         p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None],
         dim_cube.astype(points.dtype)])
+
+
+_ucem_greedy_jit = partial(jax.jit, static_argnums=(2,))(ucem_greedy)
 
 
 class UnitCube:

@@ -38,11 +38,23 @@ def _union_contains_jit(stacked, member_mask, points, unit):
     return G.union_contains(stacked, member_mask, points, unit=unit)
 
 
-@jax.jit
-def _split_gmm_jit(params, points, mask, key):
-    """Member-frame transform + 2-component GMM in one dispatch."""
+def _gmm_labels(params, points, mask, key, n_points_min):
+    """Member-frame transform, 2-component GMM, and small-cluster
+    reassignment (reference: nautilus/bounds/union.py:183-197)."""
+    n = points.shape[0]
     points_t = G.ell_transform(params, points)
-    return fit_gmm2(points_t, mask, key)
+    log_p = fit_gmm2(points_t, mask, key)
+    log_p = jnp.where(mask[:, None], log_p, -jnp.inf)
+    labels = jnp.argmax(log_p, axis=1)
+
+    counts = jnp.stack([jnp.sum(mask & (labels == 0)),
+                        jnp.sum(mask & (labels == 1))])
+    need = jnp.any(counts < n_points_min)
+    small = jnp.argmin(counts)
+    score = jnp.where(small == 0, log_p[:, 0], log_p[:, 1])
+    _, top_idx = jax.lax.top_k(score, min(n_points_min, n))
+    top = jnp.zeros(n, bool).at[top_idx].set(True)
+    return jnp.where(need & top, small, labels)
 
 
 @partial(jax.jit, static_argnums=(4, 5))
@@ -52,23 +64,8 @@ def _split_ellipsoid_jit(params, points, mask, key, n_points_min,
     small-cluster reassignment, and both child MVEE fits. Packs children and
     labels into one vector so the host reads everything in a single round
     trip (reference control flow: nautilus/bounds/union.py:183-213)."""
-    n, d = points.shape
-    points_t = G.ell_transform(params, points)
-    log_p = fit_gmm2(points_t, mask, key)
-    log_p = jnp.where(mask[:, None], log_p, -jnp.inf)
-    labels = jnp.argmax(log_p, axis=1)
-
-    # Re-assign the highest-probability points to the smaller cluster if it
-    # is too small (reference: union.py:195-197).
-    counts = jnp.stack([jnp.sum(mask & (labels == 0)),
-                        jnp.sum(mask & (labels == 1))])
-    need = jnp.any(counts < n_points_min)
-    small = jnp.argmin(counts)
-    score = jnp.where(small == 0, log_p[:, 0], log_p[:, 1])
-    _, top_idx = jax.lax.top_k(score, min(n_points_min, n))
-    top = jnp.zeros(n, bool).at[top_idx].set(True)
-    labels = jnp.where(need & top, small, labels)
-
+    d = points.shape[1]
+    labels = _gmm_labels(params, points, mask, key, n_points_min)
     dim_mask = jnp.ones(d, bool)
 
     def fit(label):
@@ -78,6 +75,23 @@ def _split_ellipsoid_jit(params, points, mask, key, n_points_min,
             p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
 
     packed = jax.vmap(fit)(jnp.arange(2))
+    return jnp.concatenate(
+        [packed.reshape(-1), labels.astype(points.dtype)])
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _split_mixture_jit(params, points, mask, key, n_points_min,
+                       enlarge_per_dim):
+    """Mixture-member split in one dispatch: GMM + reassignment + the full
+    greedy cube/ellipsoid descent for both children (vmapped)."""
+    from .basic import ucem_greedy
+    labels = _gmm_labels(params, points, mask, key, n_points_min)
+
+    def child(label):
+        return ucem_greedy(points, mask & (labels == label),
+                           enlarge_per_dim)
+
+    packed = jax.vmap(child)(jnp.arange(2))
     return jnp.concatenate(
         [packed.reshape(-1), labels.astype(points.dtype)])
 
@@ -217,21 +231,26 @@ class Union:
                           for i in range(2)]
             labels = vec[2 * n_packed:][:len(points)].astype(int)
         else:
-            log_p = np.asarray(_split_gmm_jit(
-                self.params_list[index], pts_pad, mask,
-                self.keys.next()))[:len(points)]
-            labels = np.argmax(log_p, axis=1)
-
-            # Re-assign points to the smaller cluster if it is too small.
-            counts = np.bincount(labels, minlength=2)
-            if not np.all(counts >= self.n_points_min):
-                label = int(np.argmin(counts))
-                labels[np.argsort(
-                    -log_p[:, label])[:self.n_points_min]] = label
-
-            new_params = [
-                self._fit_member(points[labels == label])
-                for label in [0, 1]]
+            vec = np.asarray(_split_mixture_jit(
+                self.params_list[index], pts_pad, mask, self.keys.next(),
+                int(self.n_points_min), self.enlarge_per_dim), np.float64)
+            n_packed = d + 2 * d * d + 1 + d  # params vector + dim_cube
+            labels = vec[2 * n_packed:][:len(points)].astype(int)
+            new_params = []
+            for i in range(2):
+                child = vec[i * n_packed:(i + 1) * n_packed]
+                dim_cube = child[-d:] > 0.5
+                p = unpack_ell(child[:-d], d, ~dim_cube, dim_cube)
+                if float(p.log_v) > 0:
+                    # Rare fallback: the greedy descent did not beat the
+                    # unit cube; rebuild this child on host with the full
+                    # grow-from-empty search.
+                    member = UnitCubeEllipsoidMixture.compute(
+                        points[labels == i],
+                        enlarge_per_dim=self.enlarge_per_dim,
+                        keys=self.keys)
+                    p = member.params
+                new_params.append(p)
 
         if not allow_overlap and ellipsoids_overlap(
                 self.params_list[:index] + self.params_list[index + 1:] +

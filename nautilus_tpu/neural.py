@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.mlp import MLPParams, train_mlp_ensemble_packed, \
-    unflatten_params, ensemble_predict
+    train_predict_packed, unflatten_params, ensemble_predict
 from .utils.bucket import bucket_size, pad_batch
 
 
@@ -40,13 +40,16 @@ class NeuralNetworkEmulator:
         self.hidden_layer_sizes = DEFAULT_HIDDEN
 
     @classmethod
-    def train(cls, x, y, n_networks=4, neural_network_kwargs=None, key=None):
+    def train(cls, x, y, n_networks=4, neural_network_kwargs=None, key=None,
+              return_predictions=False):
         """Train the ensemble.
 
         ``neural_network_kwargs`` accepts the reference's tunables
         (``hidden_layer_sizes``, ``learning_rate_init``, ``max_iter``,
         ``n_iter_no_change``, ``batch_size``); other sklearn-specific keys
-        are ignored.
+        are ignored. With ``return_predictions`` the ensemble-mean
+        prediction on the training inputs comes back in the same device
+        round trip as the trained parameters.
         """
         emulator = cls()
         x = np.asarray(x, np.float64)
@@ -81,11 +84,20 @@ class NeuralNetworkEmulator:
             key = jax.random.key(np.random.default_rng().integers(2**31))
 
         sizes = (x.shape[1],) + hidden + (1,)
-        flat, _ = train_mlp_ensemble_packed(
-            jnp.asarray(x_pad, jnp.float32), jnp.asarray(y_pad, jnp.float32),
-            jnp.asarray(mask), key, sizes, n_networks=n_networks,
-            batch_size=int(batch_size), lr=lr, max_epochs=max_epochs,
-            n_iter_no_change=n_iter_no_change)
+        common = dict(n_networks=n_networks, batch_size=int(batch_size),
+                      lr=lr, max_epochs=max_epochs,
+                      n_iter_no_change=n_iter_no_change)
+        xj = jnp.asarray(x_pad, jnp.float32)
+        yj = jnp.asarray(y_pad, jnp.float32)
+        mj = jnp.asarray(mask)
+        if return_predictions:
+            vec = np.asarray(train_predict_packed(
+                xj, yj, mj, key, sizes, **common))
+            flat = vec[:-n_pad].reshape(n_networks, -1)
+            pred = np.asarray(vec[-n_pad:][:n], np.float64)
+            emulator.params = unflatten_params(flat, sizes)
+            return emulator, pred
+        flat, _ = train_mlp_ensemble_packed(xj, yj, mj, key, sizes, **common)
         # Single fetch; parameters live on host for stack building.
         emulator.params = unflatten_params(flat, sizes)
         return emulator

@@ -188,6 +188,27 @@ def train_mlp_ensemble_packed(x, y, mask, key, sizes, n_networks=4,
     return flat, n_epochs
 
 
+@partial(jax.jit,
+         static_argnames=('sizes', 'n_networks', 'batch_size', 'max_epochs',
+                          'n_iter_no_change'))
+def train_predict_packed(x, y, mask, key, sizes, n_networks=4,
+                         batch_size=200, lr=1e-2, max_epochs=3000,
+                         n_iter_no_change=10):
+    """Train the ensemble AND return its mean predictions on the training
+    inputs in the same dispatch (the threshold calibration needs exactly
+    these; reference: nautilus/bounds/neural.py:93-95). One host fetch for
+    (flat_params, predictions)."""
+    params, _ = train_mlp_ensemble(
+        x, y, mask, key, sizes, n_networks=n_networks,
+        batch_size=batch_size, lr=lr, max_epochs=max_epochs,
+        n_iter_no_change=n_iter_no_change)
+    flat = jnp.concatenate(
+        [w.reshape(n_networks, -1) for w in params.weights] +
+        [b.reshape(n_networks, -1) for b in params.biases], axis=1)
+    pred = ensemble_predict(params, x)
+    return jnp.concatenate([flat.reshape(-1), pred])
+
+
 def unflatten_params(flat, sizes):
     """Invert the packing of :func:`train_mlp_ensemble_packed` (host side).
 

@@ -127,6 +127,10 @@ class Sampler:
         self._jax_eval_cache = {}
         self._bound_stack = None
         self._fused_step_fn = None
+        # In-flight speculative candidate batch (device future). Issuance
+        # and reuse follow deterministic rules so checkpoint resume stays
+        # bitwise identical; see _add_samples_device.
+        self._prefetch = None
 
         # Run state.
         self.n_like = 0
@@ -605,9 +609,23 @@ class Sampler:
         idx_t = np.zeros(0, dtype=int)
         n_kept = 0
         n_bound = 0
+        # Use the speculative batch issued at the end of the previous
+        # exploration call if it targeted this same bound configuration.
+        pending = self._prefetch
+        self._prefetch = None
+        if (pending is not None and pending['n_bounds'] == len(self.bounds)
+                and pending['index'] == index):
+            pending = pending['future']
+        else:
+            pending = None
+
         d = self.n_dim
         while n_kept < self.n_batch:
-            fetched = jax.device_get(step(stack, index, self.keys.next()))
+            if pending is not None:
+                out, pending = pending, None
+            else:
+                out = step(stack, index, self.keys.next())
+            fetched = jax.device_get(out)
             packed = np.asarray(fetched[0], np.float64)
             points = packed[:, :d]
             log_l_all = packed[:, d]
@@ -693,6 +711,19 @@ class Sampler:
                 blobs = None
         else:
             log_l, blobs = self.evaluate_likelihood(points)
+
+        # Speculatively dispatch the next exploration batch: during
+        # exploration the next call almost always samples the same (last)
+        # shell, so its candidates can be in flight while the host does
+        # bookkeeping. Deterministic rule (not timing-dependent): issue
+        # after every exploration-phase call; reuse iff the bound list is
+        # unchanged. The checkpoint records the consumed key counter so a
+        # resumed run reconstructs the identical in-flight batch.
+        if shell == -1 and not self.explored:
+            counter = self.keys.state['counter']
+            self._prefetch = dict(
+                n_bounds=len(self.bounds), index=index, key_counter=counter,
+                future=step(stack, index, self.keys.next()))
 
         # The exploration progress counter includes only freshly evaluated
         # points (reference: nautilus/sampler.py:447, 1144).
@@ -1133,6 +1164,12 @@ class Sampler:
     def _write_rng(self, group):
         group.attrs['keys_seed'] = self.keys.state['seed']
         group.attrs['keys_counter'] = self.keys.state['counter']
+        if self._prefetch is not None:
+            group.attrs['prefetch_counter'] = self._prefetch['key_counter']
+            group.attrs['prefetch_n_bounds'] = self._prefetch['n_bounds']
+            group.attrs['prefetch_index'] = self._prefetch['index']
+        else:
+            group.attrs['prefetch_counter'] = -1
         rng_state = self.rng.bit_generator.state
         group.attrs['rng_state'] = str(rng_state['state']['state'])
         group.attrs['rng_inc'] = str(rng_state['state']['inc'])
@@ -1219,3 +1256,16 @@ class Sampler:
                 self.bounds.append(NautilusBound.read(
                     fstream['bound_{}'.format(i)], keys=self.keys))
             self._bound_stack = None
+
+            # Reconstruct the in-flight speculative batch so the resumed
+            # key/draw sequence matches the uninterrupted run exactly.
+            prefetch_counter = int(group.attrs.get('prefetch_counter', -1))
+            if prefetch_counter >= 0:
+                n_bounds = int(group.attrs['prefetch_n_bounds'])
+                index = int(group.attrs['prefetch_index'])
+                self._prefetch = dict(
+                    n_bounds=n_bounds, index=index,
+                    key_counter=prefetch_counter,
+                    future=self._fused_step()(
+                        self._ensure_stack(), index,
+                        self.keys.key_at(prefetch_counter)))

@@ -30,6 +30,12 @@ class KeyStream:
         self._counter += 1
         return key
 
+    def key_at(self, counter):
+        """The key the stream produced (or will produce) at ``counter``,
+        without advancing. Used to reconstruct in-flight speculative work
+        after checkpoint resume."""
+        return jax.random.fold_in(self._base, counter)
+
     def next_n(self, n):
         """Return ``n`` fresh independent keys."""
         keys = jax.vmap(
