@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import geometry as G
-from ..ops.mlp import MLPParams
 from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
     neural_contains_any
 from ..utils.bucket import bucket_size, pad_batch

@@ -14,8 +14,6 @@ sampling, and ensemble network training. Here all three map onto a
 The control loop stays on host 0, mirroring the reference's driver.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
