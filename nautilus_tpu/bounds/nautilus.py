@@ -87,18 +87,12 @@ class NautilusBound:
         while multi_ellipsoid.split(allow_overlap=False):
             pass
 
-        bound.neural_bounds = []
-        for params in multi_ellipsoid.params_list:
-            mode_ell = Ellipsoid()
-            mode_ell.n_dim = bound.n_dim
-            mode_ell.params = params
-            mode_ell.keys = bound.keys
-            select = mode_ell.contains(points)
-            bound.neural_bounds.append(NeuralBound.compute(
-                points[select], log_l[select], log_l_min,
-                enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
-                neural_network_kwargs=neural_network_kwargs,
-                keys=bound.keys))
+        # All modes' neural bounds are built together: one dispatch for the
+        # per-mode ellipsoid fits, one for every emulator ensemble.
+        bound.neural_bounds = NeuralBound.compute_batched(
+            points, log_l, log_l_min, multi_ellipsoid.params_list,
+            enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
+            neural_network_kwargs=neural_network_kwargs, keys=bound.keys)
 
         # Outer sampling envelope: a union of cube-ellipsoid mixtures, split
         # until close to the target volume, then trimmed.

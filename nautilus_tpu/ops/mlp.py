@@ -188,6 +188,35 @@ def train_mlp_ensemble_packed(x, y, mask, key, sizes, n_networks=4,
     return flat, n_epochs
 
 
+def train_ensembles_multi(x, y, mask, keys, sizes, n_networks=4,
+                          batch_size=200, lr=1e-2, max_epochs=3000,
+                          n_iter_no_change=10):
+    """Train one MLP ensemble per *group* — all groups, all networks, in a
+    single computation (vmap over the group axis of the per-group trainer).
+
+    The sampler uses this to train every mode's emulator of a multimodal
+    bound simultaneously: where the reference loops over modes (one sklearn
+    ensemble each; reference: nautilus/bounds/nautilus.py:108-114), the TPU
+    build runs (n_groups x n_networks) networks as one batched program.
+
+    Parameters
+    ----------
+    x : (G, n_pad, d) standardized inputs per group.
+    y : (G, n_pad) targets. mask : (G, n_pad) validity.
+    keys : (G,) PRNG keys.
+
+    Returns (params with leading axes (G, E, ...), n_epochs (G, E)).
+    """
+
+    def one_group(xg, yg, mg, kg):
+        return train_mlp_ensemble(
+            xg, yg, mg, kg, sizes, n_networks=n_networks,
+            batch_size=batch_size, lr=lr, max_epochs=max_epochs,
+            n_iter_no_change=n_iter_no_change)
+
+    return jax.vmap(one_group)(x, y, mask, keys)
+
+
 @partial(jax.jit,
          static_argnames=('sizes', 'n_networks', 'batch_size', 'max_epochs',
                           'n_iter_no_change'))

@@ -112,8 +112,15 @@ class Sampler:
             self.pool_l = SamplerPool(pool_l)
 
         if n_batch is None:
-            s = 1 if self.pool_l is None else self.pool_l.size
-            n_batch = (100 // s + (100 % s != 0)) * s
+            if vectorized == 'jax':
+                # Device path: each batch costs a fixed number of host
+                # round trips regardless of size, and the likelihood is
+                # fused on device — bigger batches amortize dispatch
+                # latency at no extra cost.
+                n_batch = 500
+            else:
+                s = 1 if self.pool_l is None else self.pool_l.size
+                n_batch = (100 // s + (100 % s != 0)) * s
         self.n_batch = n_batch
 
         self.seed = seed

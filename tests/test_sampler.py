@@ -96,8 +96,8 @@ def test_timeout():
 
 
 def test_n_like_max():
-    sampler = Sampler(make_prior(), gauss_like(), n_live=200,
-                      n_networks=0, seed=5, vectorized='jax')
+    sampler = Sampler(make_prior(), gauss_like(), n_live=200, n_networks=0,
+                      seed=5, vectorized='jax', n_batch=100)
     success = sampler.run(n_like_max=300)
     assert not success
     assert sampler.n_like == 300

@@ -139,12 +139,13 @@ def main():
         results.append(run_config(
             'gaussian_mixture_16d', m, 2000, 5000, 0.0, 0.15))
 
-    # 5c. 2D eggbox: 25 sharp modes with a ~243-nat likelihood range. Very
-    # expensive for the reference too (>30 min CPU); opt in with --eggbox.
+    # 5c. 2D eggbox: 25 sharp modes with a ~243-nat likelihood range.
+    # Expensive (the reference needs ~18 min CPU; logZ 235.8276 at
+    # n_live=2000, n_eff=1e4, seed=0). Opt in with --eggbox.
     if args.eggbox:
         m = analytic.eggbox(n_dim=2)
-        truth = mc_truth(m)
-        results.append(run_config('eggbox_2d', m, 2000, 5000, truth, 0.5))
+        results.append(run_config('eggbox_2d', m, 2000, 5000, 235.8276,
+                                  0.5))
 
     # 6. 50D batched Gaussian: the "expensive vectorized likelihood"
     # regime — wide batches keep the MXU busy.
