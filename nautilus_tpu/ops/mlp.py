@@ -238,6 +238,71 @@ def train_predict_packed(x, y, mask, key, sizes, n_networks=4,
     return jnp.concatenate([flat.reshape(-1), pred])
 
 
+def rank_scores_masked(log_l, inside, above):
+    """Likelihood-rank training scores, computed on device.
+
+    Masked re-design of the reference's rank-score construction (reference:
+    nautilus/bounds/neural.py:84-88): points inside the bound and at/above
+    the threshold get scores in [0.5, 1], the rest of the inside points in
+    [0, 0.5], each by tie-averaged rank within its subset (scipy
+    ``rankdata`` 'average' semantics via a double ``searchsorted`` on the
+    masked sort). Points outside carry score 0 and must be masked out by
+    the caller.
+    """
+    dtype = jnp.float32
+
+    def masked_ranks(sel):
+        vals = jnp.where(sel, log_l, jnp.inf)
+        s = jnp.sort(vals)
+        lo = jnp.searchsorted(s, log_l, side='left')
+        hi = jnp.searchsorted(s, log_l, side='right')
+        return (lo + hi + 1).astype(dtype) / 2.0
+
+    sel_a = inside & above
+    sel_b = inside & ~above
+    n_a = jnp.maximum(jnp.sum(sel_a.astype(dtype)), 1.0)
+    n_b = jnp.maximum(jnp.sum(sel_b.astype(dtype)), 1.0)
+    r_a = masked_ranks(sel_a)
+    r_b = masked_ranks(sel_b)
+    return jnp.where(
+        sel_a, 0.5 * (1.0 + (r_a - 0.5) / n_a),
+        jnp.where(sel_b, 0.5 * (r_b - 0.5) / n_b, 0.0))
+
+
+def calibrate_cut(score, pred, mask, above):
+    """Acceptance-threshold calibration on device.
+
+    Cubic least-squares fit of predicted vs true score over masked points,
+    evaluated at the smallest above-threshold true score (reference:
+    nautilus/bounds/neural.py:93-95). Solved via ridge-stabilized normal
+    equations — scores live in [0, 1] so the 4x4 system is well
+    conditioned in float32.
+    """
+    w = mask.astype(jnp.float32)
+    x = jnp.where(mask, score, 0.0)
+    y = jnp.where(mask, pred, 0.0)
+    v = jnp.stack([jnp.ones_like(x), x, x * x, x * x * x], axis=1)
+    vw = v * w[:, None]
+    a = vw.T @ v + 1e-6 * jnp.eye(4, dtype=jnp.float32)
+    b = vw.T @ y
+    coef = jnp.linalg.solve(a, b)
+    x0 = jnp.min(jnp.where(mask & above, score, jnp.inf))
+    return ((coef[3] * x0 + coef[2]) * x0 + coef[1]) * x0 + coef[0]
+
+
+def flatten_ensembles(params):
+    """Pack multi-group ensemble params into one (G, E, P) array.
+
+    Layout matches :func:`train_mlp_ensemble_packed` /
+    :func:`unflatten_params`: all weight blocks layer by layer, then all
+    bias blocks.
+    """
+    g, e = params.weights[0].shape[:2]
+    return jnp.concatenate(
+        [w.reshape(g, e, -1) for w in params.weights] +
+        [b.reshape(g, e, -1) for b in params.biases], axis=2)
+
+
 def unflatten_params(flat, sizes):
     """Invert the packing of :func:`train_mlp_ensemble_packed` (host side).
 

@@ -51,6 +51,41 @@ def neural_contains_any(stack, points):
     return jnp.any(per_mode, axis=0)
 
 
+def insert_neural_slot(weights, biases, flat, b_idx):
+    """Write one bound's trained ensembles into the whole-run weight stack.
+
+    ``weights``/``biases`` are the run-level stacked tuples with leaves
+    ``(B, M, E, in, out)`` / ``(B, M, E, out)``; ``flat`` is one bound's
+    packed parameters ``(m_t, E, P)`` as produced by
+    :func:`nautilus_tpu.ops.mlp.flatten_ensembles` (weight blocks layer by
+    layer, then bias blocks), with ``m_t <= M``. The trained parameters
+    never leave the device: training emits ``flat`` and this op scatters it
+    into slot ``b_idx`` — no host round trip for megabytes of MLP weights.
+    """
+    m_t, e, _ = flat.shape
+    off = 0
+    new_weights = []
+    for w in weights:
+        _, m_pad, _, n_in, n_out = w.shape
+        blk = flat[:, :, off:off + n_in * n_out].reshape(m_t, e, n_in, n_out)
+        off += n_in * n_out
+        blk = jnp.pad(blk, ((0, m_pad - m_t), (0, 0), (0, 0), (0, 0)))
+        new_weights.append(
+            jax.lax.dynamic_update_index_in_dim(w, blk, b_idx, 0))
+    new_biases = []
+    for b in biases:
+        _, m_pad, _, n_out = b.shape
+        blk = flat[:, :, off:off + n_out].reshape(m_t, e, n_out)
+        off += n_out
+        blk = jnp.pad(blk, ((0, m_pad - m_t), (0, 0), (0, 0)))
+        new_biases.append(
+            jax.lax.dynamic_update_index_in_dim(b, blk, b_idx, 0))
+    return tuple(new_weights), tuple(new_biases)
+
+
+insert_neural_slot_jit = jax.jit(insert_neural_slot)
+
+
 def nautilus_sample_batch(outer_stacked, outer_mask, stack, key, n_points):
     """One fused candidate batch for NautilusBound sampling.
 

@@ -95,6 +95,123 @@ def shell_association_from_matrix(member, bound_mask):
     return jnp.max(jnp.where(member, idx, -1), axis=0)
 
 
+def collect_shell_points(stack, index, key, n_target, chunk=2048,
+                         eval_fn=None, max_iters=4096):
+    """Collect exactly ``n_target`` shell points in one device program.
+
+    Runs the sampler's rejection loop (reference:
+    nautilus/sampler.py:751-830) entirely on device: a ``lax.while_loop``
+    draws fixed-size candidate chunks from bound ``index``, applies the
+    bound's neural gate and the later-bound shell rejection, optionally
+    evaluates the (jittable) likelihood on every candidate, and compacts
+    accepted points into a fixed-size output buffer. The host receives one
+    small array per call instead of one large candidate batch per loop
+    iteration — on hardware behind a low-bandwidth dispatch tunnel this is
+    the difference between a latency-bound and a compute-bound sampler.
+
+    Candidate accounting follows the reference's stopping rule: within the
+    final chunk only candidates up to (and including) the one delivering
+    the ``n_target``-th accepted point are counted, so every counter-based
+    MC estimate downstream sees an admissible stopping time.
+
+    Parameters
+    ----------
+    stack : BoundStack
+    index : traced int, shell/bound slot to sample from.
+    key : PRNG key; chunk keys are derived with ``fold_in`` so the drawn
+        sequence depends only on (key, chunk index).
+    n_target : static int, number of shell points to deliver.
+    chunk : static int, candidates per loop iteration.
+    eval_fn : optional callable points -> log_l or (log_l, \\*blobs); traced
+        into the same program (prior transform + likelihood fused).
+    max_iters : static int, safety cap on loop iterations.
+
+    Returns
+    -------
+    packed : (n_target + 1, d + 2) float32 — per delivered point: the
+        point, its log-likelihood (0 if ``eval_fn`` is None), and the
+        innermost *earlier* bound containing it (-1 if none; feeds
+        transfer-point substitution). The final row carries the counters
+        ``(n_cand, n_outer, n_self, n_iter)``.
+    blobs : tuple of (n_target,) + blob-shape buffers in the blob's own
+        dtype (empty tuple when ``eval_fn`` returns only log_l).
+    """
+    d = stack.shift.shape[1]
+    b = stack.bound_mask.shape[0]
+    f32 = jnp.float32
+
+    # Trace one candidate evaluation to learn the blob structure.
+    if eval_fn is not None:
+        out_shape = jax.eval_shape(
+            eval_fn, jax.ShapeDtypeStruct((chunk, d), f32))
+        blob_shapes = (tuple(out_shape[1:])
+                       if isinstance(out_shape, tuple) else ())
+    else:
+        blob_shapes = ()
+
+    buf0 = jnp.zeros((n_target + 1, d + 2), f32)
+    blob_bufs0 = tuple(
+        jnp.zeros((n_target,) + s.shape[1:], s.dtype) for s in blob_shapes)
+
+    def cond(state):
+        n_kept = state[2]
+        it = state[6]
+        return (n_kept < n_target) & (it < max_iters)
+
+    def body(state):
+        buf, blob_bufs, n_kept, n_cand, n_outer, n_self, it = state
+        sub = jax.random.fold_in(key, it)
+        points, outer_acc, self_acc, shell_acc, member = sample_shell_batch(
+            stack, index, sub, chunk)
+
+        if eval_fn is not None:
+            result = eval_fn(points)
+            if isinstance(result, tuple):
+                log_l, blobs = result[0], result[1:]
+            else:
+                log_l, blobs = result, ()
+        else:
+            log_l, blobs = jnp.zeros(chunk, f32), ()
+
+        # Stopping rule: consume candidates up to the one delivering the
+        # missing-th accepted point; later candidates in the chunk are
+        # discarded entirely.
+        missing = n_target - n_kept
+        acc_i = shell_acc.astype(jnp.int32)
+        csum = jnp.cumsum(acc_i)
+        use = (csum - acc_i) < missing
+        kept = shell_acc & use
+
+        # Innermost earlier bound containing each candidate (-1 if none).
+        older = member & (jnp.arange(b) < index)[:, None]
+        shell_p = jnp.max(
+            jnp.where(older, jnp.arange(b)[:, None], -1), axis=0)
+
+        pos = jnp.where(kept, n_kept + csum - 1, n_target + 1)
+        rows = jnp.concatenate([
+            points.astype(f32), log_l[:, None].astype(f32),
+            shell_p[:, None].astype(f32)], axis=1)
+        buf = buf.at[pos].set(rows, mode='drop')
+        blob_bufs = tuple(
+            bb.at[pos].set(bl, mode='drop')
+            for bb, bl in zip(blob_bufs, blobs))
+
+        n_kept = n_kept + jnp.sum(kept.astype(jnp.int32))
+        n_cand = n_cand + jnp.sum(use.astype(jnp.int32))
+        n_outer = n_outer + jnp.sum((outer_acc & use).astype(jnp.int32))
+        n_self = n_self + jnp.sum((self_acc & use).astype(jnp.int32))
+        return (buf, blob_bufs, n_kept, n_cand, n_outer, n_self, it + 1)
+
+    zero = jnp.asarray(0, jnp.int32)
+    state = jax.lax.while_loop(
+        cond, body, (buf0, blob_bufs0, zero, zero, zero, zero, zero))
+    buf, blob_bufs = state[0], state[1]
+    counters = jnp.zeros(d + 2, f32).at[:4].set(
+        jnp.stack([state[3], state[4], state[5], state[6]]).astype(f32))
+    buf = buf.at[n_target].set(counters)
+    return buf, blob_bufs
+
+
 def sample_shell_batch(stack, index, key, n_points):
     """One fused candidate batch for shell ``index``.
 

@@ -32,7 +32,7 @@ from .bounds.basic import UnitCubeEllipsoidMixture
 from .neural import DEFAULT_HIDDEN
 from .ops import geometry as G
 from .ops.neural_stack import NeuralStack
-from .ops.shell_stack import BoundStack, sample_shell_batch
+from .ops.shell_stack import BoundStack, collect_shell_points
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size
@@ -546,47 +546,41 @@ class Sampler:
                 shift=shift, bound_mask=bound_mask))
         return self._bound_stack
 
+    MAX_COLLECT_ITERS = 4096
+
     def _fused_step(self):
-        """One compiled program: sample shell candidates, reject through the
-        whole bound stack, and (for jittable likelihoods) evaluate the
-        likelihood — a single dispatch + a single host fetch per batch."""
+        """One compiled program per ``add_samples`` call: the whole
+        rejection loop (draw candidates, gate through the bound stack,
+        evaluate a jittable likelihood) runs as a device-side while-loop
+        and returns exactly ``n_batch`` accepted points — one dispatch and
+        one small host fetch per batch regardless of acceptance rate."""
         if self._fused_step_fn is None:
             if self.vectorized == 'jax':
                 transform = self._jax_transform()
                 likelihood = self.likelihood
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    sharding = NamedSharding(
+                        self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+                else:
+                    sharding = None
+
+                def eval_fn(points):
+                    if sharding is not None:
+                        points = jax.lax.with_sharding_constraint(
+                            points, sharding)
+                    return likelihood(transform(points))
             else:
-                transform = likelihood = None
-            n = self.SHELL_BATCH
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                sharding = NamedSharding(
-                    self.mesh, PartitionSpec(self.mesh.axis_names[0]))
-            else:
-                sharding = None
+                eval_fn = None
+            n_target = self.n_batch
+            chunk = self.SHELL_BATCH
+            max_iters = self.MAX_COLLECT_ITERS
 
             @jax.jit
             def step(stack, index, key):
-                points, outer_acc, self_acc, shell_acc, member = \
-                    sample_shell_batch(stack, index, key, n)
-                if sharding is not None:
-                    points = jax.lax.with_sharding_constraint(
-                        points, sharding)
-                if likelihood is not None:
-                    result = likelihood(transform(points))
-                else:
-                    result = jnp.zeros(points.shape[0], jnp.float32)
-                blobs = result[1:] if isinstance(result, tuple) else ()
-                log_l = result[0] if isinstance(result, tuple) else result
-                # Pack every per-point output into one array so the host
-                # needs a single fetch (one round trip) per batch.
-                packed = jnp.concatenate([
-                    points.astype(jnp.float32),
-                    log_l[:, None].astype(jnp.float32),
-                    outer_acc[:, None].astype(jnp.float32),
-                    self_acc[:, None].astype(jnp.float32),
-                    shell_acc[:, None].astype(jnp.float32),
-                    member.T.astype(jnp.float32)], axis=1)
-                return (packed,) + blobs
+                return collect_shell_points(
+                    stack, index, key, n_target, chunk=chunk,
+                    eval_fn=eval_fn, max_iters=max_iters)
 
             self._fused_step_fn = step
         return self._fused_step_fn
@@ -594,14 +588,15 @@ class Sampler:
     def _add_samples_device(self, shell):
         """Fill one batch of shell ``shell`` through the fused device path.
 
-        One dispatch + one host fetch per candidate block: candidates are
-        drawn (and, for ``vectorized='jax'``, their likelihoods
-        speculatively computed) in fixed blocks of ``SHELL_BATCH``,
-        truncated to the prefix delivering exactly ``n_batch`` shell points
-        — an admissible stopping rule for every counter-based MC estimate
-        downstream. Transfer-point substitution (reference:
-        nautilus/sampler.py:804-819) reuses the membership matrix computed
-        on device instead of per-bound ``contains`` dispatches.
+        One dispatch + one small host fetch per batch: the device-side
+        collection loop (see
+        :func:`nautilus_tpu.ops.shell_stack.collect_shell_points`) returns
+        exactly ``n_batch`` accepted points with their likelihoods (for
+        ``vectorized='jax'``), candidate counters following the reference's
+        stopping rule, and each point's innermost earlier bound — which
+        feeds transfer-point substitution (reference:
+        nautilus/sampler.py:804-819) without per-bound ``contains``
+        dispatches.
         """
         index = shell if shell >= 0 else len(self.bounds) - 1
         stack = self._ensure_stack()
@@ -610,114 +605,73 @@ class Sampler:
         fused_like = self.vectorized == 'jax'
         use_transfer = shell == -1 and len(self.shell_t) > 0
 
-        kept_points = []
-        kept_log_l = []
-        kept_blobs = None
         idx_t = np.zeros(0, dtype=int)
-        n_kept = 0
-        n_bound = 0
         # Use the speculative batch issued at the end of the previous
         # exploration call if it targeted this same bound configuration.
         pending = self._prefetch
         self._prefetch = None
         if (pending is not None and pending['n_bounds'] == len(self.bounds)
                 and pending['index'] == index):
-            pending = pending['future']
+            out = pending['future']
         else:
-            pending = None
+            out = step(stack, index, self.keys.next())
 
         d = self.n_dim
-        while n_kept < self.n_batch:
-            if pending is not None:
-                out, pending = pending, None
-            else:
-                out = step(stack, index, self.keys.next())
-            fetched = jax.device_get(out)
-            packed = np.asarray(fetched[0], np.float64)
-            points = packed[:, :d]
-            log_l_all = packed[:, d]
-            outer_acc = packed[:, d + 1] > 0.5
-            self_acc = packed[:, d + 2] > 0.5
-            shell_acc = packed[:, d + 3] > 0.5
-            member = (packed[:, d + 4:] > 0.5).T
+        fetched = jax.device_get(out)
+        packed = np.asarray(fetched[0], np.float64)
+        n_cand, n_outer, n_self, n_iter = packed[self.n_batch, :4].astype(
+            int)
+        if n_iter >= self.MAX_COLLECT_ITERS:
+            raise RuntimeError(
+                'Shell sampling did not deliver {} points within {} '
+                'candidate chunks; the shell may be empty.'.format(
+                    self.n_batch, self.MAX_COLLECT_ITERS))
+        rows = packed[:self.n_batch]
+        points = rows[:, :d]
+        log_l = rows[:, d]
+        shell_p = rows[:, d + 1].astype(int)
 
-            csum = np.cumsum(shell_acc)
-            missing = self.n_batch - n_kept
-            if csum[-1] >= missing:
-                cut = int(np.searchsorted(csum, missing)) + 1
-            else:
-                cut = len(shell_acc)
-            outer_acc = outer_acc[:cut]
-            self_acc = self_acc[:cut]
-            sel = shell_acc[:cut]
+        if index > 0:
+            bound.outer_bound.n_sample += n_cand
+            bound.outer_bound.n_reject += n_cand - n_outer
+            bound.n_sample += n_outer
+            bound.n_reject += n_outer - n_self
+        n_bound = n_self
 
-            n_outer = int(np.sum(outer_acc))
-            n_self = int(np.sum(self_acc))
-            if index > 0:
-                bound.outer_bound.n_sample += cut
-                bound.outer_bound.n_reject += cut - n_outer
-                bound.n_sample += n_outer
-                bound.n_reject += n_outer - n_self
-            n_bound += n_self
-            n_kept += int(np.sum(sel))
+        blob_cols = [np.asarray(b) for b in fetched[1]] if fused_like \
+            else None
 
-            points_del = points[:cut][sel]
-            if fused_like:
-                log_l_del = log_l_all[:cut][sel]
-                cols_del = ([np.asarray(b)[:cut][sel] for b in fetched[1:]]
-                            if len(fetched) > 1 else None)
-            else:
-                log_l_del = None
-                cols_del = None
+        # Substitute transfer points: fresh points whose innermost old
+        # bound matches a transfer candidate's origin shell are replaced
+        # so the old likelihood evaluations are reused.
+        if use_transfer:
+            replace = np.zeros(len(points), dtype=bool)
+            for sh in range(len(self.bounds) - 1):
+                idx_1 = np.flatnonzero(self.shell_t == sh)
+                idx_2 = np.flatnonzero(shell_p == sh)
+                n_sub = min(len(idx_1), len(idx_2))
+                if n_sub > 0:
+                    chosen = self.rng.choice(
+                        idx_1, size=n_sub, replace=False)
+                    idx_t = np.append(idx_t, chosen)
+                    self.shell_t[chosen] = -1
+                    replace[self.rng.choice(
+                        idx_2, size=n_sub, replace=False)] = True
+            points = points[~replace]
+            log_l = log_l[~replace]
+            if blob_cols is not None:
+                blob_cols = [c[~replace] for c in blob_cols]
 
-            # Substitute transfer points: fresh points whose innermost old
-            # bound matches a transfer candidate's origin shell are replaced
-            # so the old likelihood evaluations are reused.
-            if use_transfer:
-                n_old = len(self.bounds) - 1
-                mrows = member[:n_old, :cut][:, sel]
-                shell_p = np.where(
-                    mrows.any(axis=0),
-                    n_old - 1 - np.argmax(mrows[::-1], axis=0), -1)
-                replace = np.zeros(len(points_del), dtype=bool)
-                for sh in range(n_old):
-                    idx_1 = np.flatnonzero(self.shell_t == sh)
-                    idx_2 = np.flatnonzero(shell_p == sh)
-                    n_sub = min(len(idx_1), len(idx_2))
-                    if n_sub > 0:
-                        chosen = self.rng.choice(
-                            idx_1, size=n_sub, replace=False)
-                        idx_t = np.append(idx_t, chosen)
-                        self.shell_t[chosen] = -1
-                        replace[self.rng.choice(
-                            idx_2, size=n_sub, replace=False)] = True
-                points_del = points_del[~replace]
-                if log_l_del is not None:
-                    log_l_del = log_l_del[~replace]
-                if cols_del is not None:
-                    cols_del = [c[~replace] for c in cols_del]
-
-            kept_points.append(points_del)
-            if log_l_del is not None:
-                kept_log_l.append(log_l_del)
-            if cols_del is not None:
-                if kept_blobs is None:
-                    kept_blobs = [[c] for c in cols_del]
-                else:
-                    for i, c in enumerate(cols_del):
-                        kept_blobs[i].append(c)
-
-        points = np.concatenate(kept_points)
         if fused_like:
-            log_l = np.concatenate(kept_log_l)
             self.n_like += len(log_l)
-            if kept_blobs is not None:
-                blobs = self._pack_blobs(
-                    [np.concatenate(c) for c in kept_blobs])
-            else:
-                blobs = None
-        else:
+            blobs = (self._pack_blobs(blob_cols)
+                     if blob_cols else None)
+        elif len(points) > 0:
             log_l, blobs = self.evaluate_likelihood(points)
+        else:
+            log_l = np.zeros(0)
+            blobs = (self.blobs_t[:0] if self.blobs_t is not None
+                     else None)
 
         # Speculatively dispatch the next exploration batch: during
         # exploration the next call almost always samples the same (last)
@@ -835,32 +789,10 @@ class Sampler:
         if verbose:
             self.print_status('Sampling', end='\r')
 
-        if self.vectorized == 'jax':
-            points, log_l, blobs, n_fresh_above = \
-                self._add_samples_device(shell)
-            if verbose:
-                self.print_status('Computing', end='\r')
-        elif shell == -1 and len(self.shell_t) > 0:
-            points, n_bound, idx_t = self.sample_shell(-1, self.shell_t)
-            assert len(points) + len(idx_t) == n_bound
-            if verbose:
-                self.print_status('Computing', end='\r')
-            if len(idx_t) > 0:
-                self.points[-1] = np.concatenate(
-                    (self.points[-1], self.points_t[idx_t]))
-                self.log_l[-1] = np.concatenate(
-                    (self.log_l[-1], self.log_l_t[idx_t]))
-                if self.blobs is not None:
-                    self.blobs[-1] = np.concatenate(
-                        (self.blobs[-1], self.blobs_t[idx_t]))
-        else:
-            points, n_bound = self.sample_shell(shell)
-            if verbose:
-                self.print_status('Computing', end='\r')
+        points, log_l, blobs, n_fresh_above = self._add_samples_device(shell)
+        if verbose:
+            self.print_status('Computing', end='\r')
 
-        if self.vectorized != 'jax':
-            self.shell_n_sample[shell] += n_bound
-            log_l, blobs = self.evaluate_likelihood(points)
         self.points[shell] = np.append(self.points[shell], points, axis=0)
         self.log_l[shell] = np.append(self.log_l[shell], log_l, axis=0)
         if blobs is not None:
@@ -871,9 +803,7 @@ class Sampler:
                     self.blobs[shell], blobs, axis=0)
         self.update_shell_info(shell)
 
-        if self.vectorized == 'jax':
-            return n_fresh_above
-        return np.sum(log_l >= self.shell_log_l_min[shell])
+        return n_fresh_above
 
     def update_shell_info(self, index):
         """Recompute per-shell statistics.
