@@ -49,6 +49,7 @@ class NautilusBound:
         self.n_dim = None
         self.shift = None
         self.neural_bounds = []
+        self.neural_flat = None
         self.outer_bound = None
         self.points = None
         self.n_sample = 0
@@ -87,9 +88,10 @@ class NautilusBound:
         while multi_ellipsoid.split(allow_overlap=False):
             pass
 
-        # All modes' neural bounds are built together: one dispatch for the
-        # per-mode ellipsoid fits, one for every emulator ensemble.
-        bound.neural_bounds = NeuralBound.compute_batched(
+        # All modes' neural bounds are built in ONE device program (fits,
+        # rank scores, ensemble training, calibration); the trained weights
+        # stay on device in ``neural_flat`` for the run-level bound stack.
+        bound.neural_bounds, bound.neural_flat = NeuralBound.compute_batched(
             points, log_l, log_l_min, multi_ellipsoid.params_list,
             enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
             neural_network_kwargs=neural_network_kwargs, keys=bound.keys)
@@ -199,18 +201,19 @@ class NautilusBound:
                 mode_mask=mode_mask))
         return self._stack_cache
 
-    def stack_parts(self, k_pad, m_pad, e_nets, sizes):
-        """This bound's slot for a whole-run :class:`BoundStack`.
+    def stack_parts(self, k_pad, m_pad):
+        """This bound's geometry slot for a whole-run :class:`BoundStack`.
 
         Pads the outer union to ``k_pad`` members and the neural modes to
-        ``m_pad`` with uniform ensemble shape ``(e_nets, *sizes)`` so every
-        bound stacks into one pytree (see ops/shell_stack.py).
+        ``m_pad`` so every bound stacks into one pytree (see
+        ops/shell_stack.py). Only the tiny host-resident fields are
+        returned here — the MLP ensemble weights are inserted on device
+        from :meth:`neural_flat_array` by the sampler's stack builder.
         """
         outer_stacked, outer_mask = G.stack_ell_params(
             self.outer_bound.params_list, k_pad)
 
         d = self.n_dim
-        n_layers = len(sizes) - 1
         ell_list = [nb.outer_bound.params for nb in self.neural_bounds]
         if len(ell_list) == 0:
             ell_stacked, mode_mask = G.stack_ell_params(
@@ -220,8 +223,6 @@ class NautilusBound:
             ell_stacked, mode_mask = G.stack_ell_params(ell_list, m_pad)
 
         means, scales, cuts, has_nets = [], [], [], []
-        weights = [[] for _ in range(n_layers)]
-        biases = [[] for _ in range(n_layers)]
         for i in range(m_pad):
             nb = (self.neural_bounds[i]
                   if i < len(self.neural_bounds) else None)
@@ -232,29 +233,40 @@ class NautilusBound:
                           else np.ones(d))
             cuts.append(nb.score_predict_min if emu is not None else 0.0)
             has_nets.append(emu is not None)
-            for k in range(n_layers):
-                if emu is not None:
-                    weights[k].append(np.asarray(emu.params.weights[k]))
-                    biases[k].append(np.asarray(emu.params.biases[k]))
-                else:
-                    weights[k].append(
-                        np.zeros((e_nets, sizes[k], sizes[k + 1])))
-                    biases[k].append(np.zeros((e_nets, sizes[k + 1])))
-
-        neural = NeuralStack(
-            ell=ell_stacked,
-            mean=np.stack(means).astype(np.float32),
-            scale=np.stack(scales).astype(np.float32),
-            weights=tuple(np.stack(w).astype(np.float32) for w in weights),
-            biases=tuple(np.stack(b).astype(np.float32) for b in biases),
-            cut=np.asarray(cuts, np.float32),
-            has_net=np.asarray(has_nets, bool),
-            mode_mask=mode_mask)
 
         shift = np.zeros(d, np.float32)
         if self.shift is not None:
             shift[self.shift.periodic] = 0.5 - self.shift.centers
-        return outer_stacked, outer_mask, neural, shift
+        return dict(
+            outer=outer_stacked, outer_mask=outer_mask, ell=ell_stacked,
+            mean=np.stack(means).astype(np.float32),
+            scale=np.stack(scales).astype(np.float32),
+            cut=np.asarray(cuts, np.float32),
+            has_net=np.asarray(has_nets, bool),
+            mode_mask=mode_mask, shift=shift)
+
+    def neural_flat_array(self):
+        """Packed (modes, E, P) ensemble parameters for stack insertion.
+
+        On-device when the bound was just trained; rebuilt on host from the
+        per-emulator parameters after a checkpoint resume.
+        """
+        if self.neural_flat is None:
+            rows = []
+            for nb in self.neural_bounds:
+                emu = nb.emulator
+                if emu is None:
+                    continue
+                e = emu.n_networks
+                parts = (
+                    [np.asarray(w).reshape(e, -1)
+                     for w in emu.params.weights] +
+                    [np.asarray(b).reshape(e, -1)
+                     for b in emu.params.biases])
+                rows.append(np.concatenate(parts, axis=1))
+            if rows:
+                self.neural_flat = np.stack(rows).astype(np.float32)
+        return self.neural_flat
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1

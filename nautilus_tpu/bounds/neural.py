@@ -20,61 +20,62 @@ from ..utils.keys import KeyStream
 from .basic import Ellipsoid, unpack_ell
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _batched_mode_fit_jit(points, above, valid, mode_ells, enlarge_per_dim):
-    """Per-mode outer-ellipsoid fits for a whole multimodal bound in one
-    dispatch. For every mode: membership in the mode-finding ellipsoid,
-    MVEE fit over the above-threshold members, and containment of all mode
-    members in the new ellipsoid. Packed as (M, L + n_pad)."""
+@partial(jax.jit, static_argnames=(
+    'sizes', 'n_networks', 'batch_size', 'max_epochs', 'n_iter_no_change',
+    'enlarge_per_dim'))
+def _batched_build_jit(points, log_l, above, valid, mode_ells, mode_mask,
+                       keys, sizes, n_networks, batch_size, max_epochs,
+                       n_iter_no_change, lr, enlarge_per_dim):
+    """Build every mode's neural bound in ONE device program.
+
+    Fuses the full reference pipeline (reference:
+    nautilus/bounds/neural.py:28-97 per mode, looped at
+    nautilus/bounds/nautilus.py:108-114) — mode membership, outer-ellipsoid
+    MVEE fit, rank-score construction, input standardization, MLP-ensemble
+    training, and acceptance-cut calibration — into a single dispatch for
+    all modes at once. Only a tiny per-mode summary (ellipsoid geometry,
+    standardization, calibrated cut) is fetched by the host; the trained
+    ensemble weights stay on device as a packed (M, E, P) array.
+    """
+    from ..ops.mlp import train_ensembles_multi, ensemble_predict, \
+        rank_scores_masked, calibrate_cut, flatten_ensembles
+
     d = points.shape[1]
 
-    def one_mode(ell):
-        member = G.ell_contains(ell, points) & valid
+    def geom(ell, is_mode):
+        member = G.ell_contains(ell, points) & valid & is_mode
         mask_fit = member & above
+        # Padded mode slots fit over all valid points so every intermediate
+        # stays finite; their outputs are discarded by the host.
+        mask_fit = jnp.where(jnp.any(mask_fit), mask_fit, valid)
         p = G.fit_ellipsoid(points, mask_fit, jnp.ones(d, bool),
                             enlarge_per_dim=enlarge_per_dim)
         inside = G.ell_contains(p, points) & member
-        return jnp.concatenate([
-            p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None],
-            inside.astype(points.dtype)])
-
-    return jax.vmap(one_mode)(mode_ells)
-
-
-@partial(jax.jit, static_argnames=(
-    'sizes', 'n_networks', 'batch_size', 'max_epochs', 'n_iter_no_change'))
-def _batched_train_predict_jit(points, scores, inside, ell_stacked, keys,
-                               sizes, n_networks, batch_size, max_epochs,
-                               n_iter_no_change, lr):
-    """Train every mode's emulator ensemble simultaneously and return, per
-    mode, the flattened parameters, standardization, and training-input
-    predictions — one dispatch, one packed fetch."""
-    from ..ops.mlp import train_ensembles_multi, ensemble_predict
-
-    d = points.shape[1]
-
-    def standardize(ell, ins):
-        t = G.ell_transform(ell, points)
-        w = ins.astype(points.dtype)
+        t = G.ell_transform(p, points)
+        w = inside.astype(points.dtype)
         n = jnp.maximum(jnp.sum(w), 1.0)
         mean = jnp.sum(t * w[:, None], axis=0) / n
         var = jnp.sum((t - mean) ** 2 * w[:, None], axis=0) / n
         scale = jnp.sqrt(var)
         scale = jnp.where(scale == 0, 1.0, scale)
-        return (t - mean) / scale, mean, scale
+        z = (t - mean) / scale
+        score = rank_scores_masked(log_l, inside, above)
+        packed_geom = jnp.concatenate([
+            p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+        return packed_geom, inside, z, score, mean, scale
 
-    z, mean, scale = jax.vmap(standardize)(ell_stacked, inside)
+    packed_geom, inside, z, score, mean, scale = jax.vmap(geom)(
+        mode_ells, mode_mask)
     params, _ = train_ensembles_multi(
-        z, scores, inside, keys, sizes, n_networks=n_networks,
+        z, score, inside, keys, sizes, n_networks=n_networks,
         batch_size=batch_size, lr=lr, max_epochs=max_epochs,
         n_iter_no_change=n_iter_no_change)
     pred = jax.vmap(ensemble_predict)(params, z)
-    m = z.shape[0]
-    flat = jnp.concatenate(
-        [w.reshape(m, -1) for w in params.weights] +
-        [b.reshape(m, -1) for b in params.biases], axis=1)
-    return jnp.concatenate(
-        [flat, mean, scale, pred], axis=1)
+    cut = jax.vmap(calibrate_cut, in_axes=(0, 0, 0, None))(
+        score, pred, inside, above)
+    small = jnp.concatenate(
+        [packed_geom, mean, scale, cut[:, None]], axis=1)
+    return small, flatten_ensembles(params)
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -186,11 +187,16 @@ class NeuralBound:
         """Build one NeuralBound per mode, all modes at once.
 
         Replaces the reference's per-mode loop (reference:
-        nautilus/bounds/nautilus.py:108-114) with two fused dispatches for
-        the whole multimodal bound: (A) every mode's outer-ellipsoid fit +
-        membership, (B) every mode's emulator ensemble trained
-        simultaneously plus its calibration predictions. Total device round
-        trips are O(1) in the number of modes.
+        nautilus/bounds/nautilus.py:108-114) with ONE fused dispatch for
+        the whole multimodal bound: every mode's outer-ellipsoid fit, rank
+        scores, emulator-ensemble training, and threshold calibration run
+        in a single device program. The host fetches only a tiny per-mode
+        summary; the ensemble weights stay on device and are returned as
+        the second element (a packed (m_pad, E, P) array) for insertion
+        into the run-level bound stack.
+
+        Returns ``(bounds, flat)`` where ``flat`` is None for
+        ``n_networks=0``.
         """
         points = np.asarray(points)
         log_l = np.asarray(log_l)
@@ -212,50 +218,26 @@ class NeuralBound:
                     points[sel], log_l[sel], log_l_min,
                     enlarge_per_dim=enlarge_per_dim, n_networks=0,
                     keys=keys))
-            return out
-
-        if m == 1:
-            # Unimodal: the single-mode path avoids the vmapped trainer's
-            # extra compilation cost.
-            mode_ell = Ellipsoid()
-            mode_ell.n_dim = d
-            mode_ell.params = mode_params[0]
-            mode_ell.keys = keys
-            sel = mode_ell.contains(points)
-            return [cls.compute(
-                points[sel], log_l[sel], log_l_min,
-                enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
-                neural_network_kwargs=neural_network_kwargs, keys=keys)]
+            return out, None
 
         # Pad the mode axis to a small power-of-two bucket so XLA compiles
-        # a handful of batched-trainer variants per run. Padded slots carry
-        # empty masks: their (masked) loss is zero and they early-stop.
+        # a handful of batched-trainer variants per run. Padded slots train
+        # on empty masks: their loss is zero and they early-stop.
         from ..utils.bucket import bucket_size
-        m_pad = bucket_size(m, floor=2)
+        m_pad = bucket_size(m, floor=1)
 
-        pts_pad, valid = pad_points(points)
+        # The fused builder is the most expensive program to compile (MVEE
+        # + GMM-free geometry + the full ensemble-training while-loop), so
+        # its point axis uses a high floor: one executable usually serves
+        # the whole run. Masked padding rows cost only cheap device time.
+        pts_pad, valid = pad_points(points, floor=4096)
         n_pad = pts_pad.shape[0]
         above = np.zeros(n_pad, bool)
         above[:len(points)] = log_l >= log_l_min
+        log_l_pad = np.full(n_pad, -np.inf, np.float32)
+        log_l_pad[:len(points)] = log_l
 
-        ell_stacked, _ = G.stack_ell_params(mode_params, m_pad)
-
-        # (A) fits + membership for every mode.
-        packed = np.asarray(_batched_mode_fit_jit(
-            pts_pad, jnp.asarray(above), valid, ell_stacked,
-            float(enlarge_per_dim)), np.float64)
-        n_packed = d + 2 * d * d + 1
-        outer_params = [unpack_ell(packed[i, :n_packed], d)
-                        for i in range(m)]
-        inside = packed[:, n_packed:] > 0.5    # (m_pad, n_pad)
-        inside[m:] = False
-
-        # Rank scores per mode (host; needs only log_l).
-        scores = np.zeros((m_pad, n_pad))
-        for i in range(m):
-            sel = inside[i, :len(points)]
-            scores[i, :len(points)][sel] = rank_scores(
-                log_l[sel], log_l_min)
+        ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
 
         kwargs = dict(neural_network_kwargs or {})
         kwargs.pop('random_state', None)
@@ -267,67 +249,39 @@ class NeuralBound:
         batch_size = int(kwargs.pop('batch_size', 200))
         sizes = (d,) + hidden + (1,)
 
-        outer_stacked, _ = G.stack_ell_params(outer_params, m_pad)
         mode_keys = keys.next_n(m_pad)
-
-        # (B) all ensembles trained at once + calibration predictions.
-        out = np.asarray(_batched_train_predict_jit(
-            pts_pad, jnp.asarray(scores, jnp.float32),
-            jnp.asarray(inside), outer_stacked, mode_keys,
+        small, flat = _batched_build_jit(
+            pts_pad, jnp.asarray(log_l_pad), jnp.asarray(above), valid,
+            ell_stacked, jnp.asarray(mode_mask), mode_keys,
             sizes=sizes, n_networks=n_networks, batch_size=batch_size,
             max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
-            lr=lr), np.float64)
-
-        # Unpack: weight blocks, bias blocks, mean, scale, predictions.
-        bounds = []
-        offset_blocks = []
-        off = 0
-        for k in range(len(sizes) - 1):
-            size = n_networks * sizes[k] * sizes[k + 1]
-            offset_blocks.append(('w', k, off, size))
-            off += size
-        for k in range(len(sizes) - 1):
-            size = n_networks * sizes[k + 1]
-            offset_blocks.append(('b', k, off, size))
-            off += size
-        mean_off, scale_off, pred_off = off, off + d, off + 2 * d
+            lr=lr, enlarge_per_dim=float(enlarge_per_dim))
+        small = np.asarray(small, np.float64)
 
         from ..neural import NeuralNetworkEmulator
-        from ..ops.mlp import MLPParams
+        n_packed = d + 2 * d * d + 1
+        bounds = []
         for i in range(m):
-            row = out[i]
-            weights = []
-            biases = []
-            for kind, k, o, size in offset_blocks:
-                block = row[o:o + size].astype(np.float32)
-                if kind == 'w':
-                    weights.append(block.reshape(
-                        n_networks, sizes[k], sizes[k + 1]))
-                else:
-                    biases.append(block.reshape(n_networks, sizes[k + 1]))
+            row = small[i]
             emulator = NeuralNetworkEmulator()
             emulator.n_networks = n_networks
             emulator.hidden_layer_sizes = hidden
-            emulator.mean = row[mean_off:mean_off + d]
-            emulator.scale = row[scale_off:scale_off + d]
-            emulator.params = MLPParams(tuple(weights), tuple(biases))
+            emulator.mean = row[n_packed:n_packed + d]
+            emulator.scale = row[n_packed + d:n_packed + 2 * d]
+            # Trained weights stay on device; fetched lazily only for
+            # checkpoint writes or standalone host prediction.
+            emulator.set_flat_device(flat[i], sizes)
 
             bound = cls()
             bound.n_dim = d
             bound.outer_bound = Ellipsoid()
             bound.outer_bound.n_dim = d
             bound.outer_bound.keys = keys
-            bound.outer_bound.params = outer_params[i]
+            bound.outer_bound.params = unpack_ell(row[:n_packed], d)
             bound.emulator = emulator
-
-            sel = inside[i, :len(points)]
-            score_i = scores[i, :len(points)][sel]
-            pred_i = row[pred_off:pred_off + n_pad][:len(points)][sel]
-            above_i = log_l[sel] >= log_l_min
-            bound.score_predict_min = float(np.polyval(
-                np.polyfit(score_i, pred_i, 3), np.amin(score_i[above_i])))
+            bound.score_predict_min = float(row[n_packed + 2 * d])
             bounds.append(bound)
-        return bounds
+        return bounds, flat
 
     def contains(self, points):
         points = np.atleast_2d(np.asarray(points))

@@ -38,6 +38,29 @@ def _union_contains_jit(stacked, member_mask, points, unit):
     return G.union_contains(stacked, member_mask, points, unit=unit)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _union_mc_jit(stacked, member_mask, key, n_min, chunk, max_iters, unit):
+    """MC volume counters for a union: draw chunks until ``n_min`` points
+    were accepted; fetch only (candidates drawn, accepted). Device-side
+    analogue of the buffered sampling the reference volume estimate rides
+    on (reference: nautilus/bounds/union.py:291-343)."""
+
+    def cond(state):
+        return (state[1] < n_min) & (state[2] < max_iters)
+
+    def body(state):
+        n_tot, n_acc, it = state
+        sub = jax.random.fold_in(key, it)
+        _, accept = G.union_sample_batch(
+            stacked, member_mask, sub, chunk, unit=unit)
+        return (n_tot + chunk,
+                n_acc + jnp.sum(accept.astype(jnp.int32)), it + 1)
+
+    zero = jnp.asarray(0, jnp.int32)
+    state = jax.lax.while_loop(cond, body, (zero, zero, zero))
+    return jnp.stack(state[:2])
+
+
 def _gmm_labels(params, points, mask, key, n_points_min):
     """Member-frame transform, 2-component GMM, and small-cluster
     reassignment (reference: nautilus/bounds/union.py:183-197)."""
@@ -333,7 +356,14 @@ class Union:
     @property
     def log_v(self):
         if self.n_sample == 0:
-            self.sample()
+            # Counter-only MC seeding: an 8-byte fetch instead of a point
+            # batch (the points would be redrawn anyway).
+            stacked, member_mask = self._stacked()
+            counters = np.asarray(_union_mc_jit(
+                stacked, member_mask, self.keys.next(), 100,
+                self.SAMPLE_BATCH, 256, self.unit), int)
+            self.n_sample += int(counters[0])
+            self.n_reject += int(counters[0] - counters[1])
         return float(logsumexp(self.log_v_all) +
                      np.log(1.0 - self.n_reject / self.n_sample))
 

@@ -35,9 +35,35 @@ class NeuralNetworkEmulator:
     def __init__(self):
         self.mean = None
         self.scale = None
-        self.params = None
+        self._params = None
+        self._flat_device = None
+        self._sizes = None
         self.n_networks = 0
         self.hidden_layer_sizes = DEFAULT_HIDDEN
+
+    @property
+    def params(self):
+        """Network parameters, fetched from device on first host access.
+
+        The fused bound builder keeps trained weights on device (they feed
+        the run-level bound stack without a host round trip); the host copy
+        is materialized lazily — only checkpoint writes and standalone
+        prediction need it.
+        """
+        if self._params is None and self._flat_device is not None:
+            self._params = unflatten_params(
+                np.asarray(self._flat_device), self._sizes)
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+
+    def set_flat_device(self, flat, sizes):
+        """Attach packed (E, P) on-device parameters (see
+        :func:`nautilus_tpu.ops.mlp.flatten_ensembles`)."""
+        self._flat_device = flat
+        self._sizes = tuple(sizes)
 
     @classmethod
     def train(cls, x, y, n_networks=4, neural_network_kwargs=None, key=None,

@@ -95,6 +95,51 @@ def shell_association_from_matrix(member, bound_mask):
     return jnp.max(jnp.where(member, idx, -1), axis=0)
 
 
+def stack_slot_contains(stack, index, points):
+    """Membership of points in one bound slot of the run stack.
+
+    Replaces host-side per-bound ``contains`` dispatches (reference:
+    nautilus/sampler.py:1057-1060) with one fused kernel returning a bool
+    vector — the only data fetched.
+    """
+    own = _slice_pytree(stack, index)
+    pts = jnp.mod(points + own.shift, 1.0)
+    in_outer = G.union_contains(own.outer, own.outer_mask, pts, unit=True)
+    return in_outer & _neural_contains(own.neural, pts)
+
+
+def mc_volume_counters(stack, index, key, n_min, chunk, max_iters):
+    """Monte-Carlo volume seeding counters for one bound slot.
+
+    Device-side analogue of ``NautilusBound.sample(n, return_points=False)``
+    (reference: nautilus/bounds/nautilus.py:193-244): draws chunks from the
+    slot's outer union and counts outer-union deliveries and neural-gate
+    acceptances until ``n_min`` points were accepted. Only four counters
+    are fetched: (candidates drawn, outer-delivered, neural-accepted,
+    iterations).
+    """
+    own = _slice_pytree(stack, index)
+
+    def cond(state):
+        n_self, it = state[2], state[3]
+        return (n_self < n_min) & (it < max_iters)
+
+    def body(state):
+        n_tot, n_outer, n_self, it = state
+        sub = jax.random.fold_in(key, it)
+        pts, outer_acc = G.union_sample_batch(
+            own.outer, own.outer_mask, sub, chunk, unit=True)
+        self_acc = outer_acc & _neural_contains(own.neural, pts)
+        n_tot = n_tot + chunk
+        n_outer = n_outer + jnp.sum(outer_acc.astype(jnp.int32))
+        n_self = n_self + jnp.sum(self_acc.astype(jnp.int32))
+        return (n_tot, n_outer, n_self, it + 1)
+
+    zero = jnp.asarray(0, jnp.int32)
+    state = jax.lax.while_loop(cond, body, (zero, zero, zero, zero))
+    return jnp.stack(state)
+
+
 def collect_shell_points(stack, index, key, n_target, chunk=2048,
                          eval_fn=None, max_iters=4096):
     """Collect exactly ``n_target`` shell points in one device program.

@@ -31,12 +31,17 @@ from .bounds import UnitCube, NautilusBound
 from .bounds.basic import UnitCubeEllipsoidMixture
 from .neural import DEFAULT_HIDDEN
 from .ops import geometry as G
-from .ops.neural_stack import NeuralStack
-from .ops.shell_stack import BoundStack, collect_shell_points
+from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
+from .ops.shell_stack import BoundStack, collect_shell_points, \
+    mc_volume_counters, stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
-from .utils.bucket import bucket_size
+from .utils.bucket import bucket_size, pad_batch
 from .utils.keys import KeyStream
+
+_mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
+    mc_volume_counters)
+_slot_contains_jit = jax.jit(stack_slot_contains)
 
 
 class Sampler:
@@ -311,17 +316,31 @@ class Sampler:
                     n_networks=self.n_networks,
                     neural_network_kwargs=self.neural_network_kwargs,
                     keys=self.keys)
-                bound.sample(1000, return_points=False)
+
+                # MC volume seeding through the run stack: the new bound is
+                # inserted speculatively and only four counters are fetched
+                # (reference behavior: nautilus/sampler.py:1032-1039).
+                self.bounds.append(bound)
+                self._bound_stack = None
+                stack = self._ensure_stack()
+                counters = np.asarray(_mc_volume_jit(
+                    stack, len(self.bounds) - 1, self.keys.next(),
+                    1000, 1024, 256), int)
+                n_tot, n_outer, n_self = (int(c) for c in counters[:3])
+                bound.outer_bound.n_sample += n_tot
+                bound.outer_bound.n_reject += n_tot - n_outer
+                bound.n_sample += n_outer
+                bound.n_reject += n_outer - n_self
 
                 # Only accept a new bound if it is smaller.
-                if bound.log_v < self.bounds[-1].log_v:
-                    self.bounds.append(bound)
+                if bound.log_v < self.bounds[-2].log_v:
                     success = True
                 else:
+                    self.bounds.pop()
+                    self._bound_stack = None
                     success = False
 
         if success:
-            self._bound_stack = None
             self.shell_n = np.append(self.shell_n, 0)
             self.shell_n_sample = np.append(self.shell_n_sample, 0)
             self.shell_n_eff = np.append(self.shell_n_eff, 0)
@@ -346,13 +365,17 @@ class Sampler:
             blobs_t = [] if self.blobs is not None else None
 
             # One fused containment call over every shell's points instead
-            # of one dispatch per shell (latency-bound on remote devices).
+            # of one dispatch per shell (latency-bound on remote devices);
+            # only the bool membership vector is fetched.
             n_shells = len(self.bounds) - 1
             offsets = np.cumsum([0] + [len(self.points[shell])
                                        for shell in range(n_shells)])
-            in_bound_all = self.bounds[-1].contains(
+            pts_pad, n_all = pad_batch(
                 np.concatenate([self.points[shell]
                                 for shell in range(n_shells)]))
+            in_bound_all = np.asarray(_slot_contains_jit(
+                self._ensure_stack(), len(self.bounds) - 1,
+                pts_pad))[:n_all]
 
             for shell in range(n_shells):
                 in_bound = in_bound_all[offsets[shell]:offsets[shell + 1]]
@@ -483,34 +506,31 @@ class Sampler:
             'hidden_layer_sizes', DEFAULT_HIDDEN))
         return (self.n_dim,) + hidden + (1,)
 
-    def _cube_stack_parts(self, k_pad, m_pad, e_nets, sizes):
+    def _cube_stack_parts(self, k_pad, m_pad):
         """Bound-stack slot for the unit cube (slot 0 of every run)."""
         d = self.n_dim
         cube = UnitCubeEllipsoidMixture._pure_cube_params(d)
         outer_stacked, _ = G.stack_ell_params([cube], k_pad)
-        outer_mask = np.arange(k_pad) < 1
-        n_layers = len(sizes) - 1
         ell_stacked, _ = G.stack_ell_params([cube], m_pad)
-        neural = NeuralStack(
+        return dict(
+            outer=outer_stacked, outer_mask=np.arange(k_pad) < 1,
             ell=ell_stacked,
             mean=np.zeros((m_pad, d), np.float32),
             scale=np.ones((m_pad, d), np.float32),
-            weights=tuple(np.zeros(
-                (m_pad, e_nets, sizes[k], sizes[k + 1]), np.float32)
-                for k in range(n_layers)),
-            biases=tuple(np.zeros(
-                (m_pad, e_nets, sizes[k + 1]), np.float32)
-                for k in range(n_layers)),
             cut=np.zeros(m_pad, np.float32),
             has_net=np.zeros(m_pad, bool),
-            mode_mask=np.zeros(m_pad, bool))
-        return outer_stacked, outer_mask, neural, np.zeros(d, np.float32)
+            mode_mask=np.zeros(m_pad, bool),
+            shift=np.zeros(d, np.float32))
 
     def _ensure_stack(self):
         """Whole-run BoundStack: every bound in one padded pytree.
 
         Rebuilt whenever the bound list changes; shapes are bucketed so XLA
-        compiles only a handful of executables per run.
+        compiles only a handful of executables per run. The small geometry
+        fields are assembled on host and uploaded (a few KB); the MLP
+        ensemble weights never visit the host — each bound's trained
+        ``neural_flat`` device array is scattered into the stacked weight
+        buffers by an on-device insert.
         """
         if self._bound_stack is None:
             e_nets = max(self.n_networks, 1)
@@ -524,26 +544,43 @@ class Sampler:
             # whole run.
             k_pad = bucket_size(k_max, floor=8)
             m_pad = bucket_size(m_max, floor=4)
-            b_pad = bucket_size(len(self.bounds), floor=8)
+            b_pad = bucket_size(len(self.bounds), floor=32)
 
-            parts = [self._cube_stack_parts(k_pad, m_pad, e_nets, sizes)]
+            parts = [self._cube_stack_parts(k_pad, m_pad)]
             for bound in self.bounds[1:]:
-                parts.append(bound.stack_parts(k_pad, m_pad, e_nets, sizes))
+                parts.append(bound.stack_parts(k_pad, m_pad))
             while len(parts) < b_pad:
                 parts.append(parts[0])
 
-            outer = jax.tree.map(
-                lambda *xs: np.stack(xs), *[p[0] for p in parts])
-            outer_mask = np.stack([p[1] for p in parts])
-            neural = jax.tree.map(
-                lambda *xs: np.stack(xs), *[p[2] for p in parts])
-            shift = np.stack([p[3] for p in parts])
+            def stacked(field):
+                return jax.tree.map(
+                    lambda *xs: np.stack(xs), *[p[field] for p in parts])
+
+            n_layers = len(sizes) - 1
+            weights = tuple(jnp.zeros(
+                (b_pad, m_pad, e_nets, sizes[k], sizes[k + 1]), jnp.float32)
+                for k in range(n_layers))
+            biases = tuple(jnp.zeros(
+                (b_pad, m_pad, e_nets, sizes[k + 1]), jnp.float32)
+                for k in range(n_layers))
+            for i, bound in enumerate(self.bounds[1:], start=1):
+                flat = bound.neural_flat_array()
+                if flat is not None:
+                    weights, biases = insert_neural_slot_jit(
+                        weights, biases, jnp.asarray(flat, jnp.float32), i)
+
+            neural = NeuralStack(
+                ell=stacked('ell'), mean=stacked('mean'),
+                scale=stacked('scale'), weights=weights, biases=biases,
+                cut=stacked('cut'), has_net=stacked('has_net'),
+                mode_mask=stacked('mode_mask'))
             bound_mask = np.arange(b_pad) < len(self.bounds)
             # Built on host, uploaded once; device buffers are then reused
             # by every fused batch until the bound list changes.
             self._bound_stack = jax.device_put(BoundStack(
-                outer=outer, outer_mask=outer_mask, neural=neural,
-                shift=shift, bound_mask=bound_mask))
+                outer=stacked('outer'), outer_mask=stacked('outer_mask'),
+                neural=neural, shift=stacked('shift'),
+                bound_mask=bound_mask))
         return self._bound_stack
 
     MAX_COLLECT_ITERS = 4096
