@@ -294,7 +294,7 @@ class UnitCubeEllipsoidMixture:
         bound.keys = keys if keys is not None else KeyStream()
         enlarge_per_dim = float(enlarge_per_dim)
 
-        pts, mask = pad_points(points)
+        pts, mask = pad_points(points, floor=2048)
 
         def fit(dim_cube):
             return fit_ellipsoid_host(pts, mask, ~dim_cube, enlarge_per_dim)

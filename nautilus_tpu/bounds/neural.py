@@ -205,6 +205,24 @@ class NeuralBound:
         if keys is None:
             keys = KeyStream()
 
+        # Host pre-filter: only points inside some mode-finding ellipsoid
+        # participate in any mode's fit or training set (the reference
+        # trains per mode on exactly these, reference:
+        # nautilus/bounds/nautilus.py:108-114). Filtering before padding
+        # keeps the trainer in one small compiled bucket for the whole run
+        # instead of growing with the total sample count. The slack makes
+        # this a superset of the device-side f32 membership test, which
+        # still decides final membership inside the fused builder.
+        if len(points) > 0 and m > 0:
+            sel = np.zeros(len(points), bool)
+            for p in mode_params:
+                dm = np.asarray(p.dim_mask, np.float64)
+                xc = (points - np.asarray(p.c, np.float64)) * dm
+                y = xc @ np.asarray(p.B_inv, np.float64).T
+                sel |= np.sum((y * dm) ** 2, axis=1) < 1.0 + 1e-3
+            points = points[sel]
+            log_l = log_l[sel]
+
         if n_networks == 0:
             # No emulators: per-mode ellipsoid fits only (rarely hot).
             out = []

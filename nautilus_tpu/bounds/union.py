@@ -201,7 +201,8 @@ class Union:
     def _fit_member(self, points):
         """Fit one member bound and return its EllParams."""
         if self.bound_class is Ellipsoid:
-            pts, mask = pad_points(points)
+            # High pad floor: one compiled fit variant serves typical runs.
+            pts, mask = pad_points(points, floor=2048)
             return fit_ellipsoid_host(
                 pts, mask, np.ones(self.n_dim, bool), self.enlarge_per_dim)
         member = UnitCubeEllipsoidMixture.compute(
@@ -240,7 +241,7 @@ class Union:
 
         index = int(np.argmax(np.where(~self.block, self.log_v_all, -np.inf)))
         points = self.points_bounds[index]
-        pts_pad, mask = pad_points(points)
+        pts_pad, mask = pad_points(points, floor=2048)
         d = self.n_dim
 
         if self.bound_class is Ellipsoid:

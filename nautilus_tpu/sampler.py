@@ -144,6 +144,16 @@ class Sampler:
         # bitwise identical; see _add_samples_device.
         self._prefetch = None
 
+        # Wall-time accounting per phase (seconds): 'bound' (bound
+        # construction incl. emulator training), 'sample' (candidate
+        # drawing + fused likelihood), 'likelihood' (host-path likelihood
+        # evaluation), 'total' (accumulated across run() calls). The
+        # reference exposes only call counters (reference:
+        # nautilus/sampler.py:906); wall-time metrics and the derived
+        # evals-per-second rate are first-class here.
+        self.timing = {'bound': 0.0, 'sample': 0.0, 'likelihood': 0.0,
+                       'total': 0.0}
+
         # Run state.
         self.n_like = 0
         self.explored = False
@@ -262,10 +272,19 @@ class Sampler:
             success = (self.explored and np.all(self.shell_n >= n_shell) and
                        self.n_eff >= n_eff)
 
+        self.timing['total'] += time() - t_start
+
         if verbose:
             self.print_status('Finished' if success else 'Stopped')
 
         return success
+
+    @property
+    def evals_per_second(self):
+        """Likelihood evaluations per second of accumulated run() time."""
+        if self.timing['total'] == 0:
+            return 0.0
+        return self.n_like / self.timing['total']
 
     # ------------------------------------------------------------------ #
     # exploration / sampling internals
@@ -287,6 +306,7 @@ class Sampler:
 
         Reference: nautilus/sampler.py:982-1091.
         """
+        t_start = time()
         if len(self.bounds) == 0:
             log_l_min = -np.inf
             self.bounds.append(UnitCube.compute(self.n_dim, keys=self.keys))
@@ -354,6 +374,7 @@ class Sampler:
                     self.blobs[-1][:0].shape, dtype=self.blobs_dtype))
         else:
             self.shell_log_l_min[-1] = log_l_min
+            self.timing['bound'] += time() - t_start
             return False
 
         # Move points of previous shells that fall inside the new bound to
@@ -372,7 +393,8 @@ class Sampler:
                                        for shell in range(n_shells)])
             pts_pad, n_all = pad_batch(
                 np.concatenate([self.points[shell]
-                                for shell in range(n_shells)]))
+                                for shell in range(n_shells)]),
+                floor=16384)
             in_bound_all = np.asarray(_slot_contains_jit(
                 self._ensure_stack(), len(self.bounds) - 1,
                 pts_pad))[:n_all]
@@ -396,6 +418,7 @@ class Sampler:
             if self.blobs is not None:
                 self.blobs_t = np.concatenate(blobs_t)
 
+        self.timing['bound'] += time() - t_start
         return True
 
     def sample_shell(self, index, shell_t=None):
@@ -542,7 +565,7 @@ class Sampler:
             # Generous floors: membership kernels are cheap relative to a
             # recompile, so pick pads that one executable usually serves the
             # whole run.
-            k_pad = bucket_size(k_max, floor=8)
+            k_pad = bucket_size(k_max, floor=16)
             m_pad = bucket_size(m_max, floor=4)
             b_pad = bucket_size(len(self.bounds), floor=32)
 
@@ -635,6 +658,7 @@ class Sampler:
         nautilus/sampler.py:804-819) without per-bound ``contains``
         dispatches.
         """
+        t_start = time()
         index = shell if shell >= 0 else len(self.bounds) - 1
         stack = self._ensure_stack()
         step = self._fused_step()
@@ -699,6 +723,7 @@ class Sampler:
             if blob_cols is not None:
                 blob_cols = [c[~replace] for c in blob_cols]
 
+        self.timing['sample'] += time() - t_start
         if fused_like:
             self.n_like += len(log_l)
             blobs = (self._pack_blobs(blob_cols)
@@ -744,6 +769,7 @@ class Sampler:
 
         Reference: nautilus/sampler.py:832-908 plus the fused device path.
         """
+        t_start = time()
         if self.vectorized == 'jax':
             n = len(points)
             n_pad = bucket_size(n)
@@ -803,6 +829,7 @@ class Sampler:
             blobs = self._pack_blobs(cols)
 
         self.n_like += len(log_l)
+        self.timing['likelihood'] += time() - t_start
         return log_l, blobs
 
     def _pack_blobs(self, cols):
