@@ -47,11 +47,10 @@ def main():
     for key in 'abc':
         prior.add_parameter(key)
 
-    # n_batch=500: on remote-dispatch TPU links, each batch costs ~2 round
-    # trips regardless of size; bigger batches amortize them. Candidate
-    # draws and likelihoods are fused on device either way.
+    # Default n_batch (= n_live on the device path): one fused batch per
+    # exploration cycle, the latency-minimal host loop on remote TPU links.
     sampler = Sampler(prior, likelihood, n_live=1000, seed=0,
-                      vectorized='jax', n_batch=500)
+                      vectorized='jax')
     t_start = time.time()
     success = sampler.run()
     elapsed = time.time() - t_start

@@ -1,0 +1,127 @@
+"""Hand-written Pallas TPU kernels for the hottest fused ops.
+
+The sampler's single hottest computation is the neural-bound rejection
+score: every candidate point runs through an ensemble of small MLPs
+(reference semantics: nautilus/neural.py:100-116 ensemble-mean predict
+gating bounds/neural.py:117-124). Under plain XLA this lowers to a chain
+of small batched matmuls with intermediates round-tripping through HBM;
+the Pallas kernel here keeps a candidate tile and every layer activation
+in VMEM and accumulates the ensemble mean in one pass — one HBM read of
+the candidates, one HBM write of the scores.
+
+The kernel is optional: :func:`ensemble_score` dispatches to Pallas when
+running on a real TPU backend (or when ``NAUTILUS_TPU_PALLAS`` is set) and
+falls back to the pure-XLA path everywhere else, so CPU tests and
+interpreter-mode checks share one entry point.
+"""
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .mlp import MLPParams, mlp_forward
+
+try:  # pragma: no cover - import guard for minimal environments
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAS_PALLAS = True
+except ImportError:  # pragma: no cover
+    HAS_PALLAS = False
+
+
+def _score_kernel(z_ref, *refs):
+    """One candidate tile through the whole ensemble, entirely in VMEM.
+
+    ``refs`` is (w_0, b_0, ..., w_{L-1}, b_{L-1}, out_ref) where weight
+    refs have shape (E, in, out) and bias refs (E, out). ReLU hidden
+    layers, linear scalar output, ensemble-mean accumulation.
+    """
+    out_ref = refs[-1]
+    layer_refs = refs[:-1]
+    n_layers = len(layer_refs) // 2
+    e_nets = layer_refs[0].shape[0]
+
+    z = z_ref[:]
+    acc = jnp.zeros((z.shape[0], 1), jnp.float32)
+    for e in range(e_nets):
+        h = z
+        for k in range(n_layers):
+            w = layer_refs[2 * k][e]
+            b = layer_refs[2 * k + 1][e]
+            h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+            if k < n_layers - 1:
+                h = jnp.maximum(h, 0.0)
+        acc = acc + h
+    out_ref[:] = acc / e_nets
+
+
+def ensemble_score_pallas(z, weights, biases, tile=256, interpret=False):
+    """Ensemble-mean MLP score for a batch of standardized points.
+
+    Parameters
+    ----------
+    z : (n, d) float32, standardized inputs; n must be a multiple of
+        ``tile`` (callers pad — the sampler's batches are bucketed).
+    weights : tuple of (E, in_k, out_k) arrays.
+    biases : tuple of (E, out_k) arrays.
+
+    Returns
+    -------
+    (n,) float32 ensemble-mean scores.
+    """
+    n, d = z.shape
+    tile = min(tile, n)
+    assert n % tile == 0
+
+    grid = (n // tile,)
+    in_specs = [pl.BlockSpec((tile, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [z.astype(jnp.float32)]
+    for w, b in zip(weights, biases):
+        in_specs.append(pl.BlockSpec(
+            w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            b.shape, lambda i: (0,) * b.ndim, memory_space=pltpu.VMEM))
+        operands.append(w.astype(jnp.float32))
+        operands.append(b.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        _score_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        interpret=interpret,
+    )(*operands)
+    return out[:, 0]
+
+
+def ensemble_score_xla(z, weights, biases):
+    """Reference XLA path: vmapped forward, mean over the ensemble axis."""
+    preds = jax.vmap(
+        lambda w, b: mlp_forward(MLPParams(w, b), z))(weights, biases)
+    return jnp.mean(preds, axis=0)
+
+
+def _use_pallas():
+    if os.environ.get('NAUTILUS_TPU_PALLAS') == '0':
+        return False
+    if os.environ.get('NAUTILUS_TPU_PALLAS'):
+        return True
+    return False
+
+
+def ensemble_score(z, weights, biases):
+    """Ensemble-mean score with automatic backend selection.
+
+    Pallas on TPU when explicitly enabled (``NAUTILUS_TPU_PALLAS=1``),
+    XLA otherwise. Both paths are numerically equivalent (f32 matmuls,
+    identical reduction order over the ensemble axis up to re-association
+    of the mean).
+    """
+    if HAS_PALLAS and _use_pallas() and z.shape[0] % 128 == 0:
+        return ensemble_score_pallas(z, weights, biases, tile=128)
+    return ensemble_score_xla(z, weights, biases)

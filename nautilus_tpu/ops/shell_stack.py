@@ -257,6 +257,193 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
     return buf, blob_bufs
 
 
+def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
+                   bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
+                   max_batches, eval_fn, max_iters=4096):
+    """Drive the whole shell-filling ("sampling") phase on device.
+
+    The reference's post-exploration loop (reference:
+    nautilus/sampler.py:482-494) alternates tiny host decisions — fill any
+    shell below ``n_shell``, else add a batch to the shell maximizing the
+    variance-reduction criterion — with device work. Here up to
+    ``max_batches`` such decisions run inside one program: per-shell
+    streaming log-sum-exp accumulators track each shell's likelihood mass
+    and effective sample size, the argmax criterion and the global
+    ``n_eff`` stopping rule are evaluated on device, and every collected
+    batch is appended to one fixed-capacity output buffer. The host
+    receives a single payload per dispatch (typically one per run) and
+    replays the recorded per-batch metadata into its bookkeeping.
+
+    Accumulator convention: for each shell, ``m1/s1`` carry
+    ``logsumexp(log_l) = m1 + log(s1)`` and ``m2/s2`` carry
+    ``logsumexp(2 log_l)``.
+
+    Returns
+    -------
+    buf : (max_batches * n_batch, d + 1) f32 — points and log_l, batch b
+        occupying rows [b*n_batch, (b+1)*n_batch).
+    blobs : tuple of (max_batches * n_batch, ...) blob buffers.
+    meta : (max_batches, 5) i32 — per batch: target shell, candidates
+        consumed, outer-union deliveries, bound deliveries, points kept
+        (== n_batch unless the shell starved). Unused batch slots carry
+        shell = -1.
+    n_used : () i32 — batches actually run.
+    """
+    d = stack.shift.shape[1]
+    b_slots = stack.bound_mask.shape[0]
+    f32 = jnp.float32
+    neg_inf = jnp.asarray(-jnp.inf, f32)
+
+    if eval_fn is not None:
+        out_shape = jax.eval_shape(
+            eval_fn, jax.ShapeDtypeStruct((chunk, d), f32))
+        blob_shapes = (tuple(out_shape[1:])
+                       if isinstance(out_shape, tuple) else ())
+    else:
+        blob_shapes = ()
+
+    cap = max_batches * n_batch
+    buf0 = jnp.zeros((cap, d + 1), f32)
+    blob_bufs0 = tuple(
+        jnp.zeros((cap,) + s.shape[1:], s.dtype) for s in blob_shapes)
+    meta0 = jnp.full((max_batches, 5), -1, jnp.int32)
+
+    valid = stack.bound_mask
+
+    def stats(shell_n, shell_ns, m1, s1, m2, s2):
+        n_f = shell_n.astype(f32)
+        occupied = valid & (shell_n > 0)
+        lse1 = jnp.where(occupied, m1 + jnp.log(jnp.maximum(s1, 1e-30)), 0.)
+        lse2 = jnp.where(occupied, m2 + jnp.log(jnp.maximum(s2, 1e-30)), 0.)
+        log_l_mean = lse1 - jnp.log(jnp.maximum(n_f, 1.0))
+        log_v = bound_log_v + jnp.log(
+            jnp.maximum(n_f, 1e-30) /
+            jnp.maximum(shell_ns.astype(f32), 1.0))
+        n_eff_shell = jnp.exp(2.0 * lse1 - lse2)
+        log_z_shell = jnp.where(occupied, log_l_mean + log_v, neg_inf)
+        w = jnp.exp(log_z_shell - jnp.max(log_z_shell))
+        n_eff = jnp.sum(w) ** 2 / jnp.maximum(jnp.sum(
+            jnp.where(occupied, w ** 2 / jnp.maximum(n_eff_shell, 1e-30),
+                      0.0)), 1e-30)
+        crit = jnp.where(
+            occupied,
+            log_l_mean + log_v - 0.5 * jnp.log(jnp.maximum(n_f, 1.0)) -
+            0.5 * jnp.log(jnp.maximum(n_eff_shell, 1e-30)),
+            neg_inf)
+        return n_eff, crit
+
+    def need_fill(shell_n):
+        return valid & (shell_n < n_shell_min)
+
+    def phase_done(shell_n, shell_ns, m1, s1, m2, s2):
+        n_eff, _ = stats(shell_n, shell_ns, m1, s1, m2, s2)
+        return ~jnp.any(need_fill(shell_n)) & (n_eff >= n_eff_target)
+
+    def cond(state):
+        b, starved = state[9], state[10]
+        shell_n, shell_ns = state[3], state[4]
+        m1, s1, m2, s2 = state[5], state[6], state[7], state[8]
+        return (b < max_batches) & ~starved & ~phase_done(
+            shell_n, shell_ns, m1, s1, m2, s2)
+
+    def body(state):
+        (buf, blob_bufs, meta, shell_n, shell_ns,
+         m1, s1, m2, s2, b, _) = state
+
+        fill = need_fill(shell_n)
+        _, crit = stats(shell_n, shell_ns, m1, s1, m2, s2)
+        index = jnp.where(
+            jnp.any(fill),
+            jnp.argmax(fill),           # first under-filled shell
+            jnp.argmax(crit))           # variance-reduction target
+
+        # Inner rejection loop: collect exactly n_batch points of shell
+        # `index` (same stopping rule as collect_shell_points).
+        base = b * n_batch
+
+        def in_cond(s):
+            return (s[1] < n_batch) & (s[5] < max_iters)
+
+        def in_body(s):
+            ibuf, n_kept, n_cand, n_outer, n_self, it, bb = s
+            sub = jax.random.fold_in(jax.random.fold_in(key, b), it)
+            points, outer_acc, self_acc, shell_acc, _ = sample_shell_batch(
+                stack, index, sub, chunk)
+            if eval_fn is not None:
+                result = eval_fn(points)
+                if isinstance(result, tuple):
+                    log_l, blobs = result[0], result[1:]
+                else:
+                    log_l, blobs = result, ()
+            else:
+                log_l, blobs = jnp.zeros(chunk, f32), ()
+
+            missing = n_batch - n_kept
+            acc_i = shell_acc.astype(jnp.int32)
+            csum = jnp.cumsum(acc_i)
+            use = (csum - acc_i) < missing
+            kept = shell_acc & use
+            pos = jnp.where(kept, base + n_kept + csum - 1, cap + 1)
+            rows = jnp.concatenate(
+                [points.astype(f32), log_l[:, None].astype(f32)], axis=1)
+            ibuf = ibuf.at[pos].set(rows, mode='drop')
+            bb = tuple(bbuf.at[pos].set(bl, mode='drop')
+                       for bbuf, bl in zip(bb, blobs))
+            n_kept = n_kept + jnp.sum(kept.astype(jnp.int32))
+            n_cand = n_cand + jnp.sum(use.astype(jnp.int32))
+            n_outer = n_outer + jnp.sum((outer_acc & use).astype(jnp.int32))
+            n_self = n_self + jnp.sum((self_acc & use).astype(jnp.int32))
+            return (ibuf, n_kept, n_cand, n_outer, n_self, it + 1, bb)
+
+        zero = jnp.asarray(0, jnp.int32)
+        buf, n_kept, n_cand, n_outer, n_self, _, blob_bufs = \
+            jax.lax.while_loop(
+                in_cond, in_body,
+                (buf, zero, zero, zero, zero, zero, blob_bufs))
+
+        # Streaming logsumexp update for the target shell from the rows
+        # just written (a starved batch stops the phase; the host trims
+        # it from the payload, so its accumulator garbage never counts).
+        batch_l = jax.lax.dynamic_slice(
+            buf, (base, d), (n_batch, 1))[:, 0]
+        # -1e30 floor keeps all--inf batches NaN-free in the merges.
+        bm1 = jnp.maximum(jnp.max(batch_l), -1e30)
+        bs1 = jnp.sum(jnp.exp(batch_l - bm1))
+        bm2 = 2.0 * bm1
+        bs2 = jnp.sum(jnp.exp(2.0 * batch_l - bm2))
+
+        def merge(m, s, bm, bs):
+            mm = jnp.maximum(m, bm)
+            return mm, s * jnp.exp(m - mm) + bs * jnp.exp(bm - mm)
+
+        occupied = shell_n[index] > 0
+        nm1, ns1 = merge(jnp.where(occupied, m1[index], -1e30),
+                         jnp.where(occupied, s1[index], 0.0), bm1, bs1)
+        nm2, ns2 = merge(jnp.where(occupied, m2[index], -1e30),
+                         jnp.where(occupied, s2[index], 0.0), bm2, bs2)
+        m1 = m1.at[index].set(nm1)
+        s1 = s1.at[index].set(ns1)
+        m2 = m2.at[index].set(nm2)
+        s2 = s2.at[index].set(ns2)
+        shell_n = shell_n.at[index].add(n_kept)
+        shell_ns = shell_ns.at[index].add(n_self)
+
+        meta = meta.at[b].set(jnp.stack(
+            [index.astype(jnp.int32), n_cand, n_outer, n_self, n_kept]))
+        starved = n_kept < n_batch
+        return (buf, blob_bufs, meta, shell_n, shell_ns,
+                m1, s1, m2, s2, b + 1, starved)
+
+    state0 = (buf0, blob_bufs0, meta0,
+              jnp.asarray(shell_n, jnp.int32),
+              jnp.asarray(shell_n_sample, jnp.int32),
+              jnp.asarray(m1, f32), jnp.asarray(s1, f32),
+              jnp.asarray(m2, f32), jnp.asarray(s2, f32),
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    state = jax.lax.while_loop(cond, body, state0)
+    return state[0], state[1], state[2], state[9]
+
+
 def sample_shell_batch(stack, index, key, n_points):
     """One fused candidate batch for shell ``index``.
 

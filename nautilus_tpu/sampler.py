@@ -33,7 +33,7 @@ from .neural import DEFAULT_HIDDEN
 from .ops import geometry as G
 from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
 from .ops.shell_stack import BoundStack, collect_shell_points, \
-    mc_volume_counters, stack_slot_contains
+    mc_volume_counters, sampling_phase, stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
@@ -121,8 +121,10 @@ class Sampler:
                 # Device path: each batch costs a fixed number of host
                 # round trips regardless of size, and the likelihood is
                 # fused on device — bigger batches amortize dispatch
-                # latency at no extra cost.
-                n_batch = 500
+                # latency at no extra cost. One batch per exploration
+                # cycle (n_batch = n_update = n_live by default) makes the
+                # host loop latency-minimal.
+                n_batch = max(500, n_live if n_update is None else n_update)
             else:
                 s = 1 if self.pool_l is None else self.pool_l.size
                 n_batch = (100 // s + (100 % s != 0)) * s
@@ -139,6 +141,7 @@ class Sampler:
         self._jax_eval_cache = {}
         self._bound_stack = None
         self._fused_step_fn = None
+        self._phase_step_fn = None
         # In-flight speculative candidate batch (device future). Issuance
         # and reuse follow deterministic rules so checkpoint resume stays
         # bitwise identical; see _add_samples_device.
@@ -253,6 +256,11 @@ class Sampler:
                     self.discard_exploration = discard_exploration
                     if self.filepath is not None:
                         self.write(self.filepath, overwrite=True)
+
+            elif self.vectorized == 'jax':
+                # Device path: the whole fill-or-argmax decision loop runs
+                # on device, one round trip per PHASE_MAX_BATCHES batches.
+                self._sampling_phase_device(n_shell, n_eff, verbose=verbose)
 
             elif np.any(self.shell_n < n_shell):
                 shell = np.flatnonzero(self.shell_n < n_shell)[0]
@@ -607,6 +615,26 @@ class Sampler:
         return self._bound_stack
 
     MAX_COLLECT_ITERS = 4096
+    PHASE_MAX_BATCHES = 8
+
+    def _device_eval_fn(self):
+        """Traceable prior transform + likelihood (None on host paths)."""
+        if self.vectorized != 'jax':
+            return None
+        transform = self._jax_transform()
+        likelihood = self.likelihood
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+        else:
+            sharding = None
+
+        def eval_fn(points):
+            if sharding is not None:
+                points = jax.lax.with_sharding_constraint(points, sharding)
+            return likelihood(transform(points))
+        return eval_fn
 
     def _fused_step(self):
         """One compiled program per ``add_samples`` call: the whole
@@ -615,23 +643,7 @@ class Sampler:
         and returns exactly ``n_batch`` accepted points — one dispatch and
         one small host fetch per batch regardless of acceptance rate."""
         if self._fused_step_fn is None:
-            if self.vectorized == 'jax':
-                transform = self._jax_transform()
-                likelihood = self.likelihood
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    sharding = NamedSharding(
-                        self.mesh, PartitionSpec(self.mesh.axis_names[0]))
-                else:
-                    sharding = None
-
-                def eval_fn(points):
-                    if sharding is not None:
-                        points = jax.lax.with_sharding_constraint(
-                            points, sharding)
-                    return likelihood(transform(points))
-            else:
-                eval_fn = None
+            eval_fn = self._device_eval_fn()
             n_target = self.n_batch
             chunk = self.SHELL_BATCH
             max_iters = self.MAX_COLLECT_ITERS
@@ -644,6 +656,128 @@ class Sampler:
 
             self._fused_step_fn = step
         return self._fused_step_fn
+
+    def _phase_step(self):
+        """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
+        if self._phase_step_fn is None:
+            eval_fn = self._device_eval_fn()
+            n_batch = self.n_batch
+            chunk = self.SHELL_BATCH
+            max_batches = self.PHASE_MAX_BATCHES
+            max_iters = self.MAX_COLLECT_ITERS
+
+            @jax.jit
+            def phase(stack, key, shell_n, shell_ns, m1, s1, m2, s2,
+                      bound_log_v, n_shell_min, n_eff_target):
+                return sampling_phase(
+                    stack, key, shell_n, shell_ns, m1, s1, m2, s2,
+                    bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
+                    max_batches, eval_fn, max_iters=max_iters)
+
+            self._phase_step_fn = phase
+        return self._phase_step_fn
+
+    def _sampling_phase_device(self, n_shell, n_eff_target, verbose=False):
+        """Run (a slice of) the sampling phase in one device dispatch.
+
+        Uploads the per-shell streaming statistics, lets the device make up
+        to PHASE_MAX_BATCHES fill-or-argmax decisions (reference host loop:
+        nautilus/sampler.py:482-494), then replays the recorded per-batch
+        metadata into host bookkeeping. One round trip replaces one per
+        batch — the difference between a latency-bound and compute-bound
+        sampling phase on remote TPU links.
+        """
+        if verbose:
+            self.print_status('Sampling', end='\r')
+        t_start = time()
+        stack = self._ensure_stack()
+        b_pad = stack.bound_mask.shape[0]
+        n_bounds = len(self.bounds)
+
+        if self._discard_exploration and self.explored:
+            starts = self.shell_end_exp
+            ns_adj = self.shell_n_sample - self.shell_n_sample_exp
+        else:
+            starts = np.zeros(n_bounds, dtype=int)
+            ns_adj = self.shell_n_sample
+
+        shell_n = np.zeros(b_pad, np.int32)
+        shell_ns = np.zeros(b_pad, np.int32)
+        m1 = np.full(b_pad, -1e30, np.float32)
+        s1 = np.zeros(b_pad, np.float32)
+        m2 = np.full(b_pad, -1e30, np.float32)
+        s2 = np.zeros(b_pad, np.float32)
+        bound_log_v = np.full(b_pad, -np.inf, np.float32)
+        for i in range(n_bounds):
+            ll = self.log_l[i][starts[i]:]
+            shell_n[i] = len(ll)
+            shell_ns[i] = ns_adj[i]
+            bound_log_v[i] = self.bounds[i].log_v
+            if len(ll) > 0:
+                m = max(float(np.max(ll)), -1e30)
+                m1[i] = m
+                s1[i] = float(np.sum(np.exp(ll - m)))
+                m2[i] = 2.0 * m
+                s2[i] = float(np.sum(np.exp(2.0 * (ll - m))))
+
+        out = self._phase_step()(
+            stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
+            bound_log_v, np.int32(n_shell), np.float32(n_eff_target))
+        buf, blob_bufs, meta, n_used = jax.device_get(out)
+        n_used = int(n_used)
+        if n_used == 0:
+            # Device stats judged the phase done but host stats disagreed
+            # (f32 vs f64 rounding near the threshold): fall back to one
+            # host-driven batch so the run loop always progresses.
+            if np.any(self.shell_n < n_shell):
+                shell = int(np.flatnonzero(self.shell_n < n_shell)[0])
+            else:
+                shell = int(np.argmax(
+                    self.shell_log_l + self.shell_log_v -
+                    0.5 * np.log(self.shell_n) -
+                    0.5 * np.log(self.shell_n_eff)))
+            self.add_samples(shell, verbose=verbose)
+            if self.filepath is not None:
+                self.write_shell_update(self.filepath, shell)
+            return
+
+        meta = np.asarray(meta, int)
+        buf = np.asarray(buf, np.float64)
+        d = self.n_dim
+        self.timing['sample'] += time() - t_start
+        for bi in range(n_used):
+            shell, n_cand, n_outer, n_self, n_kept = meta[bi]
+            rows = buf[bi * self.n_batch:bi * self.n_batch + n_kept]
+            if shell > 0:
+                bound = self.bounds[shell]
+                bound.outer_bound.n_sample += int(n_cand)
+                bound.outer_bound.n_reject += int(n_cand - n_outer)
+                bound.n_sample += int(n_outer)
+                bound.n_reject += int(n_outer - n_self)
+            self.shell_n_sample[shell] += int(n_self)
+            self.points[shell] = np.append(
+                self.points[shell], rows[:, :d], axis=0)
+            self.log_l[shell] = np.append(
+                self.log_l[shell], rows[:, d], axis=0)
+            if len(blob_bufs) > 0:
+                cols = [np.asarray(c)[bi * self.n_batch:
+                                     bi * self.n_batch + n_kept]
+                        for c in blob_bufs]
+                blobs = self._pack_blobs(cols)
+                if self.blobs is None:
+                    self.blobs = [blobs]
+                else:
+                    self.blobs[shell] = np.append(
+                        self.blobs[shell], blobs, axis=0)
+            self.n_like += int(n_kept)
+            self.update_shell_info(shell)
+            if self.filepath is not None:
+                self.write_shell_update(self.filepath, int(shell))
+        if meta[n_used - 1, 4] < self.n_batch:
+            raise RuntimeError(
+                'Shell sampling did not deliver {} points within {} '
+                'candidate chunks; the shell may be empty.'.format(
+                    self.n_batch, self.MAX_COLLECT_ITERS))
 
     def _add_samples_device(self, shell):
         """Fill one batch of shell ``shell`` through the fused device path.
