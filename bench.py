@@ -56,9 +56,10 @@ def main():
     elapsed = time.time() - t_start
 
     print('success={} logZ={:.4f} n_eff={:.0f} n_like={} '
-          'evals_per_sec={:.0f} platform={}'.format(
+          'evals_per_sec={:.0f} platform={} timing={}'.format(
               success, sampler.log_z, sampler.n_eff, sampler.n_like,
-              sampler.n_like / elapsed, jax.devices()[0].platform),
+              sampler.n_like / elapsed, jax.devices()[0].platform,
+              {k: round(v, 1) for k, v in sampler.timing.items()}),
           file=sys.stderr)
 
     print(json.dumps({

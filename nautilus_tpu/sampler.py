@@ -347,13 +347,24 @@ class Sampler:
 
                 # MC volume seeding through the run stack: the new bound is
                 # inserted speculatively and only four counters are fetched
-                # (reference behavior: nautilus/sampler.py:1032-1039).
+                # (reference behavior: nautilus/sampler.py:1032-1039). The
+                # transfer-containment kernel is dispatched in the same
+                # breath so its device time and link latency overlap the
+                # counter fetch.
                 self.bounds.append(bound)
                 self._bound_stack = None
                 stack = self._ensure_stack()
-                counters = np.asarray(_mc_volume_jit(
+                mc_future = _mc_volume_jit(
                     stack, len(self.bounds) - 1, self.keys.next(),
-                    1000, 1024, 256), int)
+                    1000, 1024, 256)
+                n_shells = len(self.bounds) - 1
+                pts_pad, n_all = pad_batch(
+                    np.concatenate([self.points[shell]
+                                    for shell in range(n_shells)]),
+                    floor=16384)
+                contains_future = _slot_contains_jit(
+                    stack, len(self.bounds) - 1, pts_pad)
+                counters = np.asarray(mc_future, int)
                 n_tot, n_outer, n_self = (int(c) for c in counters[:3])
                 bound.outer_bound.n_sample += n_tot
                 bound.outer_bound.n_reject += n_tot - n_outer
@@ -395,17 +406,12 @@ class Sampler:
 
             # One fused containment call over every shell's points instead
             # of one dispatch per shell (latency-bound on remote devices);
-            # only the bool membership vector is fetched.
+            # only the bool membership vector is fetched, and the kernel
+            # was already dispatched alongside the MC-volume counters.
             n_shells = len(self.bounds) - 1
             offsets = np.cumsum([0] + [len(self.points[shell])
                                        for shell in range(n_shells)])
-            pts_pad, n_all = pad_batch(
-                np.concatenate([self.points[shell]
-                                for shell in range(n_shells)]),
-                floor=16384)
-            in_bound_all = np.asarray(_slot_contains_jit(
-                self._ensure_stack(), len(self.bounds) - 1,
-                pts_pad))[:n_all]
+            in_bound_all = np.asarray(contains_future)[:n_all]
 
             for shell in range(n_shells):
                 in_bound = in_bound_all[offsets[shell]:offsets[shell + 1]]
