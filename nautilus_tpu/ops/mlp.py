@@ -51,6 +51,30 @@ def mlp_forward(params, x):
     return out[..., 0]
 
 
+def mlp_forward_scoring(params, x):
+    """Forward pass for membership *scoring*: bf16 matmuls on TPU.
+
+    The neural bound is a region definition: any deterministic membership
+    function used consistently for sampling, shell rejection, and volume
+    estimation yields an unbiased evidence estimate — precision only moves
+    the region boundary slightly (sampling efficiency, not correctness).
+    On the MXU, bf16 inputs with float32 accumulation cut the dominant
+    per-candidate cost of the bound-stack membership matrix by ~2-4x.
+    Training and calibration keep full float32 (:func:`mlp_forward`).
+    """
+    if jax.default_backend() != 'tpu':
+        return mlp_forward(params, x)
+    h = x.astype(jnp.bfloat16)
+    n_layers = len(params.weights)
+    for i in range(n_layers - 1):
+        h = jnp.dot(h, params.weights[i].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + params.biases[i]
+        h = jax.nn.relu(h).astype(jnp.bfloat16)
+    out = jnp.dot(h, params.weights[-1].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32) + params.biases[-1]
+    return out[..., 0]
+
+
 def ensemble_predict(params, x):
     """Mean prediction over the ensemble axis.
 

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as G
-from .mlp import MLPParams, mlp_forward
+from .mlp import MLPParams, mlp_forward_scoring
 
 
 class NeuralStack(NamedTuple):
@@ -39,7 +39,8 @@ def neural_contains_any(stack, points):
         z = (t - mean) / scale
         weights, biases = wb
         preds = jax.vmap(
-            lambda w, b: mlp_forward(MLPParams(w, b), z))(weights, biases)
+            lambda w, b: mlp_forward_scoring(MLPParams(w, b), z))(
+                weights, biases)
         score = jnp.mean(preds, axis=0)
         score_ok = score > cut - 1e-9
         return in_ell & (score_ok | ~has_net)

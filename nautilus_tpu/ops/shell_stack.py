@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as G
-from .mlp import MLPParams, mlp_forward
+from .mlp import MLPParams, mlp_forward_scoring
 from .neural_stack import NeuralStack
 
 
@@ -54,7 +54,8 @@ def _neural_contains(neural, points):
         z = (t - mean) / scale
         weights, biases = wb
         preds = jax.vmap(
-            lambda w, b: mlp_forward(MLPParams(w, b), z))(weights, biases)
+            lambda w, b: mlp_forward_scoring(MLPParams(w, b), z))(
+                weights, biases)
         score = jnp.mean(preds, axis=0)
         score_ok = score > cut - 1e-9
         return in_ell & (score_ok | ~has_net)
@@ -141,7 +142,7 @@ def mc_volume_counters(stack, index, key, n_min, chunk, max_iters):
 
 
 def collect_shell_points(stack, index, key, n_target, chunk=2048,
-                         eval_fn=None, max_iters=4096):
+                         eval_fn=None, max_iters=4096, need_member=True):
     """Collect exactly ``n_target`` shell points in one device program.
 
     Runs the sampler's rejection loop (reference:
@@ -170,6 +171,13 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
     eval_fn : optional callable points -> log_l or (log_l, \\*blobs); traced
         into the same program (prior transform + likelihood fused).
     max_iters : static int, safety cap on loop iterations.
+    need_member : static bool. The full (bounds x points) membership
+        matrix is only needed when later bounds exist (shell rejection) or
+        transfer candidates await substitution (innermost-earlier-bound
+        association). When the host knows neither applies — exploration
+        batches from the newest bound with an exhausted transfer pool —
+        the False variant skips the stack's entire MLP membership sweep,
+        the dominant per-candidate cost.
 
     Returns
     -------
@@ -206,8 +214,17 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
     def body(state):
         buf, blob_bufs, n_kept, n_cand, n_outer, n_self, it = state
         sub = jax.random.fold_in(key, it)
-        points, outer_acc, self_acc, shell_acc, member = sample_shell_batch(
-            stack, index, sub, chunk)
+        if need_member:
+            points, outer_acc, self_acc, shell_acc, member = \
+                sample_shell_batch(stack, index, sub, chunk)
+        else:
+            own = _slice_pytree(stack, index)
+            points_s, outer_acc = G.union_sample_batch(
+                own.outer, own.outer_mask, sub, chunk, unit=True)
+            self_acc = outer_acc & _neural_contains(own.neural, points_s)
+            points = jnp.mod(points_s - own.shift, 1.0)
+            shell_acc = self_acc
+            member = jnp.zeros((b, chunk), bool)
 
         if eval_fn is not None:
             result = eval_fn(points)

@@ -32,8 +32,9 @@ from .bounds.basic import UnitCubeEllipsoidMixture
 from .neural import DEFAULT_HIDDEN
 from .ops import geometry as G
 from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
-from .ops.shell_stack import BoundStack, collect_shell_points, \
-    mc_volume_counters, sampling_phase, stack_slot_contains
+from .ops.shell_stack import BoundStack, bound_contains_matrix, \
+    collect_shell_points, mc_volume_counters, sampling_phase, \
+    stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
@@ -42,6 +43,7 @@ from .utils.keys import KeyStream
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
     mc_volume_counters)
 _slot_contains_jit = jax.jit(stack_slot_contains)
+_contains_matrix_jit = jax.jit(bound_contains_matrix)
 
 
 class Sampler:
@@ -576,12 +578,14 @@ class Sampler:
                                for b in self.bounds[1:]])
             m_max = max([1] + [len(b.neural_bounds)
                                for b in self.bounds[1:]])
-            # Generous floors: membership kernels are cheap relative to a
-            # recompile, so pick pads that one executable usually serves the
-            # whole run.
+            # Pad floors trade recompiles against per-chunk compute: the
+            # membership matrix costs B_pad x M_pad x E MLP forwards per
+            # candidate, so the MLP-bearing axes (bounds, modes) stay
+            # tight — a unimodal run pays exactly one mode slot — while
+            # the geometry-only union axis keeps a high floor.
             k_pad = bucket_size(k_max, floor=16)
-            m_pad = bucket_size(m_max, floor=4)
-            b_pad = bucket_size(len(self.bounds), floor=32)
+            m_pad = bucket_size(m_max, floor=1)
+            b_pad = bucket_size(len(self.bounds), floor=8)
 
             parts = [self._cube_stack_parts(k_pad, m_pad)]
             for bound in self.bounds[1:]:
@@ -642,13 +646,20 @@ class Sampler:
             return likelihood(transform(points))
         return eval_fn
 
-    def _fused_step(self):
+    def _fused_step(self, need_member=True):
         """One compiled program per ``add_samples`` call: the whole
         rejection loop (draw candidates, gate through the bound stack,
         evaluate a jittable likelihood) runs as a device-side while-loop
         and returns exactly ``n_batch`` accepted points — one dispatch and
-        one small host fetch per batch regardless of acceptance rate."""
+        one small host fetch per batch regardless of acceptance rate.
+
+        Two variants: ``need_member=False`` skips the full bound-stack
+        membership sweep when the host knows no later bound or live
+        transfer candidate exists.
+        """
         if self._fused_step_fn is None:
+            self._fused_step_fn = {}
+        if need_member not in self._fused_step_fn:
             eval_fn = self._device_eval_fn()
             n_target = self.n_batch
             chunk = self.SHELL_BATCH
@@ -658,10 +669,16 @@ class Sampler:
             def step(stack, index, key):
                 return collect_shell_points(
                     stack, index, key, n_target, chunk=chunk,
-                    eval_fn=eval_fn, max_iters=max_iters)
+                    eval_fn=eval_fn, max_iters=max_iters,
+                    need_member=need_member)
 
-            self._fused_step_fn = step
-        return self._fused_step_fn
+            self._fused_step_fn[need_member] = step
+        return self._fused_step_fn[need_member]
+
+    def _need_member(self, index):
+        """Whether a collect dispatch needs the full membership matrix."""
+        return (index < len(self.bounds) - 1 or
+                bool(np.any(self.shell_t >= 0)))
 
     def _phase_step(self):
         """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
@@ -753,6 +770,8 @@ class Sampler:
         self.timing['sample'] += time() - t_start
         for bi in range(n_used):
             shell, n_cand, n_outer, n_self, n_kept = meta[bi]
+            self.timing['sample_cand'] = self.timing.get(
+                'sample_cand', 0) + int(n_cand)
             rows = buf[bi * self.n_batch:bi * self.n_batch + n_kept]
             if shell > 0:
                 bound = self.bounds[shell]
@@ -801,7 +820,8 @@ class Sampler:
         t_start = time()
         index = shell if shell >= 0 else len(self.bounds) - 1
         stack = self._ensure_stack()
-        step = self._fused_step()
+        need_member = self._need_member(index)
+        step = self._fused_step(need_member)
         bound = self.bounds[index]
         fused_like = self.vectorized == 'jax'
         use_transfer = shell == -1 and len(self.shell_t) > 0
@@ -812,7 +832,8 @@ class Sampler:
         pending = self._prefetch
         self._prefetch = None
         if (pending is not None and pending['n_bounds'] == len(self.bounds)
-                and pending['index'] == index):
+                and pending['index'] == index
+                and pending.get('need_member', True) == need_member):
             out = pending['future']
         else:
             out = step(stack, index, self.keys.next())
@@ -822,6 +843,10 @@ class Sampler:
         packed = np.asarray(fetched[0], np.float64)
         n_cand, n_outer, n_self, n_iter = packed[self.n_batch, :4].astype(
             int)
+        self.timing['sample_chunks'] = self.timing.get(
+            'sample_chunks', 0) + int(n_iter)
+        self.timing['sample_cand'] = self.timing.get(
+            'sample_cand', 0) + int(n_cand)
         if n_iter >= self.MAX_COLLECT_ITERS:
             raise RuntimeError(
                 'Shell sampling did not deliver {} points within {} '
@@ -884,9 +909,12 @@ class Sampler:
         # resumed run reconstructs the identical in-flight batch.
         if shell == -1 and not self.explored:
             counter = self.keys.state['counter']
+            need_next = self._need_member(index)
             self._prefetch = dict(
                 n_bounds=len(self.bounds), index=index, key_counter=counter,
-                future=step(stack, index, self.keys.next()))
+                need_member=need_next,
+                future=self._fused_step(need_next)(
+                    stack, index, self.keys.next()))
 
         # The exploration progress counter includes only freshly evaluated
         # points (reference: nautilus/sampler.py:447, 1144).
@@ -1185,28 +1213,34 @@ class Sampler:
         log_v_live = log_v[np.argsort(log_l)][-self.n_live:]
         return logsumexp(log_v_live)
 
+    def _membership_matrix(self, points):
+        """(n_bounds, n_points) membership via the fused stack kernel —
+        one dispatch for every (bound, point) pair, numerically identical
+        to the membership the sampling kernels used."""
+        pts_pad, n = pad_batch(np.asarray(points, np.float64))
+        member = np.asarray(_contains_matrix_jit(
+            self._ensure_stack(), pts_pad))
+        return member[:len(self.bounds), :n]
+
     def shell_association(self, points, n_max=None):
         """Innermost bound containing each point
         (reference: sampler.py:1192-1221)."""
         if n_max is None:
             n_max = len(self.bounds)
-
-        shell = np.repeat(-1, len(points))
-        for i, bound in reversed(list(enumerate(self.bounds[:n_max]))):
-            mask = shell >= 0
-            if np.all(mask):
-                break
-            mask[~mask] = ~np.asarray(bound.contains(points[~mask]))
-            shell[~mask] = i
-        return shell
+        member = self._membership_matrix(points)[:n_max]
+        idx = np.arange(member.shape[0])[:, None]
+        return np.max(np.where(member, idx, -1), axis=0)
 
     def shell_bound_occupation(self, fractional=True):
         """Cross-occupation matrix of shells and bounds
         (reference: sampler.py:1223-1251)."""
-        m = np.zeros((len(self.bounds), len(self.bounds)), dtype=int)
-        for i, points in enumerate(self.points):
-            for k, bound in enumerate(self.bounds):
-                m[i, k] = np.sum(bound.contains(points))
+        n_bounds = len(self.bounds)
+        sizes = [len(p) for p in self.points]
+        offsets = np.cumsum([0] + sizes)
+        member = self._membership_matrix(np.concatenate(self.points))
+        m = np.zeros((n_bounds, n_bounds), dtype=int)
+        for i in range(n_bounds):
+            m[i] = np.sum(member[:, offsets[i]:offsets[i + 1]], axis=1)
         if fractional:
             m = m / np.diag(m)[:, np.newaxis]
         return m
@@ -1404,9 +1438,10 @@ class Sampler:
             if prefetch_counter >= 0:
                 n_bounds = int(group.attrs['prefetch_n_bounds'])
                 index = int(group.attrs['prefetch_index'])
+                need_member = self._need_member(index)
                 self._prefetch = dict(
                     n_bounds=n_bounds, index=index,
-                    key_counter=prefetch_counter,
-                    future=self._fused_step()(
+                    key_counter=prefetch_counter, need_member=need_member,
+                    future=self._fused_step(need_member)(
                         self._ensure_stack(), index,
                         self.keys.key_at(prefetch_counter)))
