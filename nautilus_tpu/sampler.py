@@ -46,6 +46,11 @@ _slot_contains_jit = jax.jit(stack_slot_contains)
 _contains_matrix_jit = jax.jit(bound_contains_matrix)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _slice_rows_jit(a, n_rows):
+    return a[:n_rows]
+
+
 class Sampler:
     """Dynamic sampler built on importance nested sampling.
 
@@ -746,8 +751,17 @@ class Sampler:
         out = self._phase_step()(
             stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
             bound_log_v, np.int32(n_shell), np.float32(n_eff_target))
-        buf, blob_bufs, meta, n_used = jax.device_get(out)
+        # Two-step fetch: metadata first (tiny), then only the buffer rows
+        # the phase actually filled — on low-bandwidth links the payload is
+        # the cost, so never transfer unused batch capacity.
+        buf_dev, blob_devs, meta, n_used = out
+        meta = np.asarray(meta)
         n_used = int(n_used)
+        if n_used > 0:
+            n_rows = n_used * self.n_batch
+            buf = np.asarray(_slice_rows_jit(buf_dev, n_rows), np.float64)
+            blob_bufs = tuple(
+                np.asarray(_slice_rows_jit(b, n_rows)) for b in blob_devs)
         if n_used == 0:
             # Device stats judged the phase done but host stats disagreed
             # (f32 vs f64 rounding near the threshold): fall back to one
