@@ -332,6 +332,48 @@ class UnitCubeEllipsoidMixture:
         bound.params = params._replace(dim_cube=np.asarray(dim_cube, bool))
         return bound
 
+    @classmethod
+    def compute_masked(cls, pts_dev, mask_dev, enlarge_per_dim=1.1,
+                       keys=None):
+        """Device-block twin of :meth:`compute`: fit over a masked device
+        point block already resident on device (no host coordinates)."""
+        bound = cls()
+        n_dim = bound.n_dim = int(pts_dev.shape[1])
+        bound.keys = keys if keys is not None else KeyStream()
+        enlarge_per_dim = float(enlarge_per_dim)
+
+        def fit(dim_cube):
+            return fit_ellipsoid_host(
+                pts_dev, mask_dev, ~dim_cube, enlarge_per_dim)
+
+        vec = np.asarray(_ucem_greedy_jit(pts_dev, mask_dev,
+                                          enlarge_per_dim), np.float32)
+        dim_cube = vec[-n_dim:] > 0.5
+        params = unpack_ell(vec[:-n_dim], n_dim, ~dim_cube, dim_cube)
+        log_v = float(params.log_v)
+
+        if log_v > 0:
+            dim_cube = np.ones(n_dim, dtype=bool)
+            params = None
+            log_v = 0.0
+            tested = np.zeros(n_dim, dtype=bool)
+            while not np.all(tested):
+                for dim in np.flatnonzero(~tested):
+                    dim_cube[dim] = False
+                    tested[dim] = True
+                    params_test = fit(dim_cube)
+                    log_v_test = float(params_test.log_v)
+                    if log_v_test < log_v:
+                        params, log_v = params_test, log_v_test
+                        tested[dim_cube] = False
+                    else:
+                        dim_cube[dim] = True
+            if params is None:
+                params = cls._pure_cube_params(n_dim)
+
+        bound.params = params._replace(dim_cube=np.asarray(dim_cube, bool))
+        return bound
+
     @staticmethod
     def _pure_cube_params(n_dim):
         eye = np.eye(n_dim, dtype=np.float32)

@@ -40,6 +40,16 @@ def _neural_contains_jit(stack, points):
     return neural_contains_any(stack, points)
 
 
+@jax.jit
+def _shift_block_jit(pts, vec):
+    return jnp.mod(pts + vec, 1.0)
+
+
+@jax.jit
+def _above_mask_jit(log_l, valid, log_l_min):
+    return valid & (log_l >= log_l_min)
+
+
 class NautilusBound:
     """Union of non-overlapping neural bounds cut to a sampling envelope."""
 
@@ -113,6 +123,71 @@ class NautilusBound:
                 break
 
         bound.points = np.zeros((0, points.shape[1]))
+        bound.n_sample = 0
+        bound.n_reject = 0
+        return bound
+
+    @classmethod
+    def compute_device(cls, pts_dev, log_l_dev, valid_dev, n_points,
+                       log_l_min, log_v_target, enlarge_per_dim=1.1,
+                       n_points_min=None, split_threshold=100, periodic=None,
+                       n_networks=4, neural_network_kwargs=None, keys=None,
+                       points_above=None):
+        """Device-block twin of :meth:`compute`.
+
+        Consumes a compact device point block (typically the sampler's
+        point arena, sorted by likelihood) instead of host coordinates:
+        mode finding, the neural builds, and the outer split/trim loops all
+        run over on-device masks, so bound construction fetches only tiny
+        geometries and counters. ``points_above`` (host rows of the
+        above-threshold subset) is required only when ``periodic`` is set —
+        the phase-shift centering is a cheap host computation.
+        """
+        bound = cls()
+        bound.n_dim = d = int(pts_dev.shape[1])
+        bound.keys = keys if keys is not None else KeyStream()
+
+        if periodic is not None:
+            bound.shift = PhaseShift.compute(points_above, periodic)
+            pts_dev = _shift_block_jit(
+                pts_dev, jnp.asarray(bound.shift.shift_vector(d),
+                                     jnp.float32))
+        else:
+            bound.shift = None
+
+        above = _above_mask_jit(log_l_dev, valid_dev,
+                                jnp.asarray(log_l_min, jnp.float32))
+        n_above = int(np.asarray(jnp.sum(above)))
+
+        multi_ellipsoid = Union.compute_masked(
+            pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+            n_points_min=n_points_min, bound_class=Ellipsoid,
+            keys=bound.keys)
+        while multi_ellipsoid.split(allow_overlap=False):
+            pass
+
+        bound.neural_bounds, bound.neural_flat = \
+            NeuralBound.compute_batched_device(
+                pts_dev, log_l_dev, valid_dev, above,
+                multi_ellipsoid.params_list,
+                enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
+                neural_network_kwargs=neural_network_kwargs,
+                keys=bound.keys)
+
+        bound.outer_bound = Union.compute_masked(
+            pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+            n_points_min=n_points_min,
+            bound_class=UnitCubeEllipsoidMixture, keys=bound.keys)
+
+        log_v_threshold = np.log(split_threshold * enlarge_per_dim ** d)
+        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+            if not bound.outer_bound.split():
+                break
+        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+            if not bound.outer_bound.trim():
+                break
+
+        bound.points = np.zeros((0, d))
         bound.n_sample = 0
         bound.n_reject = 0
         return bound

@@ -93,6 +93,30 @@ def _fit_contains_transform_jit(points, mask_fit, mask_all, enlarge_per_dim):
         inside.astype(points.dtype), t.reshape(-1)])
 
 
+@jax.jit
+def _mode_sel_jit(pts, valid, mode_ells, mode_mask):
+    """Points inside any mode-finding ellipsoid (device prefilter for the
+    batched builder) and their count — only the count is fetched."""
+    per = jax.vmap(G.ell_contains, in_axes=(0, None))(mode_ells, pts)
+    sel = jnp.any(per & mode_mask[:, None], axis=0) & valid
+    return sel, jnp.sum(sel.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _compact_sel_jit(pts, log_l, above, sel, size):
+    """Gather the selected rows into a compact block (device-to-device)."""
+    idx = jnp.nonzero(sel, size=size, fill_value=pts.shape[0])[0]
+    valid = idx < pts.shape[0]
+    safe = jnp.minimum(idx, pts.shape[0] - 1)
+    return (pts[safe], jnp.where(valid, log_l[safe], -jnp.inf),
+            above[safe] & valid, valid)
+
+
+@jax.jit
+def _mode_member_jit(mode_ell, pts, above):
+    return G.ell_contains(mode_ell, pts) & above
+
+
 def rank_scores(log_l, log_l_min):
     """Map likelihoods to rank scores in [0, 1].
 
@@ -288,6 +312,97 @@ class NeuralBound:
             emulator.scale = row[n_packed + d:n_packed + 2 * d]
             # Trained weights stay on device; fetched lazily only for
             # checkpoint writes or standalone host prediction.
+            emulator.set_flat_device(flat[i], sizes)
+
+            bound = cls()
+            bound.n_dim = d
+            bound.outer_bound = Ellipsoid()
+            bound.outer_bound.n_dim = d
+            bound.outer_bound.keys = keys
+            bound.outer_bound.params = unpack_ell(row[:n_packed], d)
+            bound.emulator = emulator
+            bound.score_predict_min = float(row[n_packed + 2 * d])
+            bounds.append(bound)
+        return bounds, flat
+
+    @classmethod
+    def compute_batched_device(cls, pts_dev, log_l_dev, valid_dev, above_dev,
+                               mode_params, enlarge_per_dim=1.1, n_networks=4,
+                               neural_network_kwargs=None, keys=None):
+        """Device-block twin of :meth:`compute_batched`.
+
+        The point set never visits the host: the mode prefilter (reference
+        behavior: train only on points inside some mode-finding ellipsoid,
+        reference: nautilus/bounds/nautilus.py:108-114) runs on device and
+        compacts the block before the fused builder, so the trainer keeps
+        its small compiled bucket. Only the selected-point count, the tiny
+        per-mode summary, and (for ``n_networks=0``) the per-mode ellipsoid
+        geometries are fetched.
+        """
+        from ..utils.bucket import bucket_size
+        from .basic import fit_ellipsoid_host
+
+        m = len(mode_params)
+        d = int(pts_dev.shape[1])
+        if keys is None:
+            keys = KeyStream()
+        m_pad = bucket_size(m, floor=1)
+
+        ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
+        sel, n_sel = _mode_sel_jit(pts_dev, valid_dev,
+                                   jax.device_put(ell_stacked),
+                                   jnp.asarray(mode_mask))
+        n_sel = max(int(n_sel), 1)
+        size = bucket_size(n_sel, floor=4096)
+        pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
+            pts_dev, log_l_dev, above_dev, sel, size)
+
+        if n_networks == 0:
+            # No emulators: one masked ellipsoid fit per mode.
+            out = []
+            for p in mode_params:
+                member = _mode_member_jit(
+                    jax.tree.map(jnp.asarray, p), pts_c, above_c)
+                bound = cls()
+                bound.n_dim = d
+                bound.outer_bound = Ellipsoid()
+                bound.outer_bound.n_dim = d
+                bound.outer_bound.keys = keys
+                bound.outer_bound.params = fit_ellipsoid_host(
+                    pts_c, member, np.ones(d, bool), float(enlarge_per_dim))
+                bound.emulator = None
+                bound.score_predict_min = 0.0
+                out.append(bound)
+            return out, None
+
+        kwargs = dict(neural_network_kwargs or {})
+        kwargs.pop('random_state', None)
+        from ..neural import DEFAULT_HIDDEN, NeuralNetworkEmulator
+        hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
+        lr = float(kwargs.pop('learning_rate_init', 1e-2))
+        max_epochs = int(kwargs.pop('max_iter', 3000))
+        n_iter_no_change = int(kwargs.pop('n_iter_no_change', 10))
+        batch_size = int(kwargs.pop('batch_size', 200))
+        sizes = (d,) + hidden + (1,)
+
+        mode_keys = keys.next_n(m_pad)
+        small, flat = _batched_build_jit(
+            pts_c, log_l_c, above_c, valid_c,
+            ell_stacked, jnp.asarray(mode_mask), mode_keys,
+            sizes=sizes, n_networks=n_networks, batch_size=batch_size,
+            max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
+            lr=lr, enlarge_per_dim=float(enlarge_per_dim))
+        small = np.asarray(small, np.float64)
+
+        n_packed = d + 2 * d * d + 1
+        bounds = []
+        for i in range(m):
+            row = small[i]
+            emulator = NeuralNetworkEmulator()
+            emulator.n_networks = n_networks
+            emulator.hidden_layer_sizes = hidden
+            emulator.mean = row[n_packed:n_packed + d]
+            emulator.scale = row[n_packed + d:n_packed + 2 * d]
             emulator.set_flat_device(flat[i], sizes)
 
             bound = cls()

@@ -29,6 +29,13 @@ class PhaseShift:
 
         return shift
 
+    def shift_vector(self, n_dim):
+        """(n_dim,) additive mod-1 shift equivalent to :meth:`transform`
+        (for applying the shift to device-resident point blocks)."""
+        vec = np.zeros(n_dim)
+        vec[self.periodic] = 0.5 - self.centers
+        return vec
+
     def transform(self, points, inverse=False):
         points_t = np.copy(np.asarray(points, np.float64))
         sign = -1 if inverse else +1

@@ -119,6 +119,45 @@ def _split_mixture_jit(params, points, mask, key, n_points_min,
         [packed.reshape(-1), labels.astype(points.dtype)])
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _split_ellipsoid_masked_jit(params, points, member_mask, key,
+                                n_points_min, enlarge_per_dim):
+    """Masked-mode ellipsoid split: same math as
+    :func:`_split_ellipsoid_jit` but the child *membership masks stay on
+    device* — the host fetches only the two packed child geometries and
+    their member counts (a few hundred bytes), never the labels."""
+    d = points.shape[1]
+    labels = _gmm_labels(params, points, member_mask, key, n_points_min)
+    masks = jnp.stack([member_mask & (labels == 0),
+                       member_mask & (labels == 1)])
+    dim_mask = jnp.ones(d, bool)
+
+    def fit(m):
+        p = G.fit_ellipsoid(points, m, dim_mask,
+                            enlarge_per_dim=enlarge_per_dim)
+        return jnp.concatenate([
+            p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+
+    packed = jax.vmap(fit)(masks)
+    counts = jnp.sum(masks, axis=1).astype(points.dtype)
+    return jnp.concatenate([packed.reshape(-1), counts]), masks[0], masks[1]
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _split_mixture_masked_jit(params, points, member_mask, key,
+                              n_points_min, enlarge_per_dim):
+    """Masked-mode mixture split: GMM + reassignment + the greedy
+    cube/ellipsoid descent for both children; child masks stay on device."""
+    from .basic import ucem_greedy
+    labels = _gmm_labels(params, points, member_mask, key, n_points_min)
+    masks = jnp.stack([member_mask & (labels == 0),
+                       member_mask & (labels == 1)])
+    packed = jax.vmap(
+        lambda m: ucem_greedy(points, m, enlarge_per_dim))(masks)
+    counts = jnp.sum(masks, axis=1).astype(points.dtype)
+    return jnp.concatenate([packed.reshape(-1), counts]), masks[0], masks[1]
+
+
 def ellipsoids_overlap(params_list):
     """Whether any pair of ellipsoids overlaps.
 
@@ -168,6 +207,13 @@ class Union:
         self.n_reject = 0
         self.keys = None
         self._stacked_cache = None
+        # Masked (device-block) mode: member point sets are boolean masks
+        # over one shared device point block instead of host arrays —
+        # coordinates never cross the device link during construction.
+        self._masked = False
+        self._pts_dev = None
+        self._member_masks = None
+        self._member_counts = None
 
     @classmethod
     def compute(cls, points, enlarge_per_dim=1.1, n_points_min=None,
@@ -195,8 +241,63 @@ class Union:
         bound.points = np.zeros((0, bound.n_dim))
         return bound
 
+    @classmethod
+    def compute_masked(cls, pts_dev, mask_dev, n_points, enlarge_per_dim=1.1,
+                       n_points_min=None, unit=True, bound_class=Ellipsoid,
+                       keys=None):
+        """Build a union over a *device* point block selected by a mask.
+
+        Device-block twin of :meth:`compute`: the point coordinates stay on
+        device for the whole split/trim recursion; the host tracks only
+        member counts and the tiny fitted geometries.
+        """
+        bound = cls()
+        bound.n_dim = int(pts_dev.shape[1])
+        bound.enlarge_per_dim = float(enlarge_per_dim)
+        bound.unit = unit
+        bound.bound_class = bound_class
+        bound.keys = keys if keys is not None else KeyStream()
+
+        if n_points_min is None:
+            bound.n_points_min = bound.n_dim + 1
+        else:
+            if n_points_min < bound.n_dim + 1:
+                raise ValueError('The number of points per bound must be ' +
+                                 'larger than the number of dimensions.')
+            bound.n_points_min = int(n_points_min)
+
+        bound._masked = True
+        bound._pts_dev = pts_dev
+        bound._member_masks = [mask_dev]
+        bound._member_counts = [int(n_points)]
+        bound.points_bounds = None
+        bound.params_list = [bound._fit_member_masked(mask_dev)]
+        bound._refresh_bookkeeping()
+        bound.block = np.atleast_1d(int(n_points) < 2 * bound.n_points_min)
+        bound.points = np.zeros((0, bound.n_dim))
+        return bound
+
     # ------------------------------------------------------------------ #
     # fitting helpers
+
+    def _fit_member_masked(self, mask):
+        """Fit one member bound over the masked device block."""
+        if self.bound_class is Ellipsoid:
+            return fit_ellipsoid_host(
+                self._pts_dev, mask, np.ones(self.n_dim, bool),
+                self.enlarge_per_dim)
+        member = UnitCubeEllipsoidMixture.compute_masked(
+            self._pts_dev, mask, enlarge_per_dim=self.enlarge_per_dim,
+            keys=self.keys)
+        return member.params
+
+    def _points_bounds_host(self):
+        """Host member point arrays (materializes the block in masked
+        mode; used only for checkpoint writes)."""
+        if not self._masked:
+            return self.points_bounds
+        pts = np.asarray(self._pts_dev, np.float64)
+        return [pts[np.asarray(m)] for m in self._member_masks]
 
     def _fit_member(self, points):
         """Fit one member bound and return its EllParams."""
@@ -240,41 +341,85 @@ class Union:
             return False
 
         index = int(np.argmax(np.where(~self.block, self.log_v_all, -np.inf)))
-        points = self.points_bounds[index]
-        pts_pad, mask = pad_points(points, floor=2048)
         d = self.n_dim
 
-        if self.bound_class is Ellipsoid:
-            # Fully fused: GMM + reassignment + both child fits, one round
-            # trip.
-            vec = np.asarray(_split_ellipsoid_jit(
-                self.params_list[index], pts_pad, mask, self.keys.next(),
-                int(self.n_points_min), self.enlarge_per_dim), np.float64)
-            n_packed = d + 2 * d * d + 1
-            new_params = [unpack_ell(vec[i * n_packed:(i + 1) * n_packed], d)
-                          for i in range(2)]
-            labels = vec[2 * n_packed:][:len(points)].astype(int)
+        if self._masked:
+            # Device-block mode: the two child membership masks stay on
+            # device; only the packed child geometries and member counts
+            # are fetched.
+            member_mask = self._member_masks[index]
+            if self.bound_class is Ellipsoid:
+                small, m0, m1 = _split_ellipsoid_masked_jit(
+                    self.params_list[index], self._pts_dev, member_mask,
+                    self.keys.next(), int(self.n_points_min),
+                    self.enlarge_per_dim)
+                n_packed = d + 2 * d * d + 1
+                vec = np.asarray(small, np.float64)
+                new_params = [
+                    unpack_ell(vec[i * n_packed:(i + 1) * n_packed], d)
+                    for i in range(2)]
+            else:
+                small, m0, m1 = _split_mixture_masked_jit(
+                    self.params_list[index], self._pts_dev, member_mask,
+                    self.keys.next(), int(self.n_points_min),
+                    self.enlarge_per_dim)
+                n_packed = d + 2 * d * d + 1 + d
+                vec = np.asarray(small, np.float64)
+                new_params = []
+                for i, child_mask in enumerate([m0, m1]):
+                    child = vec[i * n_packed:(i + 1) * n_packed]
+                    dim_cube = child[-d:] > 0.5
+                    p = unpack_ell(child[:-d], d, ~dim_cube, dim_cube)
+                    if float(p.log_v) > 0:
+                        # Rare fallback: the greedy descent did not beat
+                        # the unit cube; grow from empty instead.
+                        member = UnitCubeEllipsoidMixture.compute_masked(
+                            self._pts_dev, child_mask,
+                            enlarge_per_dim=self.enlarge_per_dim,
+                            keys=self.keys)
+                        p = member.params
+                    new_params.append(p)
+            counts = vec[2 * n_packed:2 * n_packed + 2].astype(int)
+            labels = None
+            points = None
         else:
-            vec = np.asarray(_split_mixture_jit(
-                self.params_list[index], pts_pad, mask, self.keys.next(),
-                int(self.n_points_min), self.enlarge_per_dim), np.float64)
-            n_packed = d + 2 * d * d + 1 + d  # params vector + dim_cube
-            labels = vec[2 * n_packed:][:len(points)].astype(int)
-            new_params = []
-            for i in range(2):
-                child = vec[i * n_packed:(i + 1) * n_packed]
-                dim_cube = child[-d:] > 0.5
-                p = unpack_ell(child[:-d], d, ~dim_cube, dim_cube)
-                if float(p.log_v) > 0:
-                    # Rare fallback: the greedy descent did not beat the
-                    # unit cube; rebuild this child on host with the full
-                    # grow-from-empty search.
-                    member = UnitCubeEllipsoidMixture.compute(
-                        points[labels == i],
-                        enlarge_per_dim=self.enlarge_per_dim,
-                        keys=self.keys)
-                    p = member.params
-                new_params.append(p)
+            points = self.points_bounds[index]
+            pts_pad, mask = pad_points(points, floor=2048)
+
+            if self.bound_class is Ellipsoid:
+                # Fully fused: GMM + reassignment + both child fits, one
+                # round trip.
+                vec = np.asarray(_split_ellipsoid_jit(
+                    self.params_list[index], pts_pad, mask, self.keys.next(),
+                    int(self.n_points_min), self.enlarge_per_dim),
+                    np.float64)
+                n_packed = d + 2 * d * d + 1
+                new_params = [
+                    unpack_ell(vec[i * n_packed:(i + 1) * n_packed], d)
+                    for i in range(2)]
+                labels = vec[2 * n_packed:][:len(points)].astype(int)
+            else:
+                vec = np.asarray(_split_mixture_jit(
+                    self.params_list[index], pts_pad, mask, self.keys.next(),
+                    int(self.n_points_min), self.enlarge_per_dim),
+                    np.float64)
+                n_packed = d + 2 * d * d + 1 + d  # params vector + dim_cube
+                labels = vec[2 * n_packed:][:len(points)].astype(int)
+                new_params = []
+                for i in range(2):
+                    child = vec[i * n_packed:(i + 1) * n_packed]
+                    dim_cube = child[-d:] > 0.5
+                    p = unpack_ell(child[:-d], d, ~dim_cube, dim_cube)
+                    if float(p.log_v) > 0:
+                        # Rare fallback: the greedy descent did not beat the
+                        # unit cube; rebuild this child on host with the
+                        # full grow-from-empty search.
+                        member = UnitCubeEllipsoidMixture.compute(
+                            points[labels == i],
+                            enlarge_per_dim=self.enlarge_per_dim,
+                            keys=self.keys)
+                        p = member.params
+                    new_params.append(p)
 
         if not allow_overlap and ellipsoids_overlap(
                 self.params_list[:index] + self.params_list[index + 1:] +
@@ -286,15 +431,24 @@ class Union:
             self.block[index] = True
             return self.split(allow_overlap=allow_overlap)
 
-        self.points_bounds.pop(index)
-        self.points_bounds.append(points[labels == 0])
-        self.points_bounds.append(points[labels == 1])
+        if self._masked:
+            self._member_masks.pop(index)
+            self._member_masks.extend([m0, m1])
+            self._member_counts.pop(index)
+            self._member_counts.extend([int(counts[0]), int(counts[1])])
+            child_n = counts
+        else:
+            self.points_bounds.pop(index)
+            self.points_bounds.append(points[labels == 0])
+            self.points_bounds.append(points[labels == 1])
+            child_n = [len(self.points_bounds[-2]),
+                       len(self.points_bounds[-1])]
         self.params_list.pop(index)
         self.params_list.extend(new_params)
         self.block = np.concatenate(
             (np.delete(self.block, index),
-             [len(self.points_bounds[-2]) < 2 * self.n_points_min,
-              len(self.points_bounds[-1]) < 2 * self.n_points_min]))
+             [child_n[0] < 2 * self.n_points_min,
+              child_n[1] < 2 * self.n_points_min]))
         self._refresh_bookkeeping()
         self.reset()
         return True
@@ -307,13 +461,20 @@ class Union:
         if len(self.params_list) == 1:
             return False
 
-        log_n = np.log([len(points) for points in self.points_bounds])
+        if self._masked:
+            log_n = np.log(self._member_counts)
+        else:
+            log_n = np.log([len(points) for points in self.points_bounds])
         log_r = log_n - self.log_v_all
         index = int(np.argmin(log_r))
 
         if log_r[index] - np.median(np.delete(log_r, index)) < -np.log(
                 threshold):
-            self.points_bounds.pop(index)
+            if self._masked:
+                self._member_masks.pop(index)
+                self._member_counts.pop(index)
+            else:
+                self.points_bounds.pop(index)
             self.params_list.pop(index)
             self.block = np.delete(self.block, index)
             self._refresh_bookkeeping()
@@ -388,7 +549,7 @@ class Union:
             sub = group.create_group('member_{}'.format(i))
             for key in ['c', 'B', 'B_inv', 'dim_mask', 'dim_cube', 'log_v']:
                 sub.attrs[key] = np.asarray(getattr(params, key))
-        for i, points in enumerate(self.points_bounds):
+        for i, points in enumerate(self._points_bounds_host()):
             group.create_dataset('points_bound_{}'.format(i), data=points)
         group.create_dataset('points', data=self.points,
                              maxshape=(None, self.n_dim))

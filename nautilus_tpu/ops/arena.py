@@ -1,0 +1,204 @@
+"""Device-resident point arena.
+
+Every point the sampler evaluates is stored once, on device, in one growing
+``(capacity, n_dim)`` buffer with a parallel log-likelihood column and an
+``alive`` flag. The sampler's host bookkeeping (shell membership, transfer
+sets, discard offsets) then operates on *integer row indices* instead of
+coordinate arrays, so batch collection fetches only log-likelihoods and
+counters — never point payloads. Bound construction consumes the arena
+directly through :meth:`PointArena.block_sorted` (a compact, sorted device
+block), and coordinates cross the device link only for lazily-materialized
+host needs: ``posterior()``, checkpoint writes, host-side (non-jittable)
+likelihoods, and diagnostics.
+
+This replaces the reference's host-resident ``self.points`` lists
+(reference: nautilus/sampler.py:316-327); on hardware behind a
+low-bandwidth dispatch tunnel the per-batch coordinate fetches those lists
+require dominate wall time.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.bucket import bucket_size
+
+ARENA_FLOOR = 4096
+
+
+@jax.jit
+def _append_jit(pts, log_l, alive, buf, n0, k):
+    """Scatter the first ``k`` rows of ``buf`` (cols [pts | log_l | ...])
+    into the arena at offset ``n0``; one executable serves every (n0, k)."""
+    d = pts.shape[1]
+    rows = jnp.arange(buf.shape[0])
+    idx = jnp.where(rows < k, n0 + rows, pts.shape[0])
+    pts = pts.at[idx].set(buf[:, :d].astype(pts.dtype), mode='drop')
+    log_l = log_l.at[idx].set(buf[:, d].astype(log_l.dtype), mode='drop')
+    alive = alive.at[idx].set(True, mode='drop')
+    return pts, log_l, alive
+
+
+@jax.jit
+def _set_alive_jit(alive, ids, value):
+    return alive.at[ids].set(value, mode='drop')
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _compact_sorted_jit(pts, log_l, alive, size):
+    """Alive rows, ascending in log_l (ties by arena order), first ``size``
+    rows. Dead/unused rows sort to the end (key = +inf) and are marked
+    invalid in the returned mask."""
+    key = jnp.where(alive, log_l, jnp.inf)
+    order = jnp.argsort(key)[:size]
+    return pts[order], log_l[order], alive[order]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fetch_rows_jit(pts, start, size):
+    return jax.lax.dynamic_slice(pts, (start, 0), (size, pts.shape[1]))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _grow_jit(pts, log_l, alive, new_cap):
+    extra = new_cap - pts.shape[0]
+    return (jnp.concatenate([pts, jnp.zeros((extra, pts.shape[1]),
+                                            pts.dtype)]),
+            jnp.concatenate([log_l, jnp.full((extra,), -jnp.inf,
+                                             log_l.dtype)]),
+            jnp.concatenate([alive, jnp.zeros((extra,), bool)]))
+
+
+def _pad_ids(ids, cap):
+    """Pad an id vector to a bucket; padded entries scatter out of range."""
+    ids = np.asarray(ids, np.int32)
+    out = np.full(bucket_size(len(ids), floor=64), cap, np.int32)
+    out[:len(ids)] = ids
+    return jnp.asarray(out)
+
+
+class PointArena:
+    """Append-only store of evaluated points; device- or host-backed.
+
+    Device mode (``vectorized='jax'`` sampling): rows live in device
+    buffers, written by jitted appends straight from the collection
+    kernels' output buffers; the host sees coordinates only through the
+    lazily-filled prefix cache of :meth:`rows`. Host mode (host-side
+    likelihoods): rows live in one numpy array and the same index-based
+    bookkeeping applies with zero-cost materialization.
+    """
+
+    def __init__(self, n_dim, device=False, capacity=ARENA_FLOOR):
+        self.n_dim = n_dim
+        self.device = bool(device)
+        self.n = 0
+        self._cache = np.zeros((0, n_dim))
+        if self.device:
+            self.capacity = bucket_size(capacity, floor=ARENA_FLOOR)
+            self.d_pts = jnp.zeros((self.capacity, n_dim), jnp.float32)
+            self.d_log_l = jnp.full((self.capacity,), -jnp.inf, jnp.float32)
+            self.d_alive = jnp.zeros((self.capacity,), bool)
+        else:
+            self.capacity = 0
+
+    # -------------------------------------------------------------- #
+    # appends
+
+    def _ensure_capacity(self, need):
+        if need <= self.capacity:
+            return
+        new_cap = bucket_size(need, floor=ARENA_FLOOR)
+        self.d_pts, self.d_log_l, self.d_alive = _grow_jit(
+            self.d_pts, self.d_log_l, self.d_alive, new_cap)
+        self.capacity = new_cap
+
+    def append_buf(self, buf, k):
+        """Append the first ``k`` rows of a device buffer whose columns are
+        ``[point | log_l | ...]``. Device-to-device; nothing is fetched.
+        Returns the new rows' arena ids."""
+        assert self.device
+        self._ensure_capacity(self.n + int(buf.shape[0]))
+        self.d_pts, self.d_log_l, self.d_alive = _append_jit(
+            self.d_pts, self.d_log_l, self.d_alive, buf,
+            jnp.asarray(self.n, jnp.int32), jnp.asarray(k, jnp.int32))
+        ids = np.arange(self.n, self.n + int(k))
+        self.n += int(k)
+        return ids
+
+    def append_host(self, points):
+        """Append host coordinate rows (host mode only)."""
+        assert not self.device
+        points = np.atleast_2d(np.asarray(points, np.float64))
+        ids = np.arange(self.n, self.n + len(points))
+        self._cache = np.concatenate([self._cache, points])
+        self.n += len(points)
+        return ids
+
+    # -------------------------------------------------------------- #
+    # alive flags (device mode; host mode tracks membership via the
+    # sampler's index lists alone)
+
+    def kill(self, ids):
+        if self.device and len(ids) > 0:
+            self.d_alive = _set_alive_jit(
+                self.d_alive, _pad_ids(ids, self.capacity), False)
+
+    def revive(self, ids):
+        if self.device and len(ids) > 0:
+            self.d_alive = _set_alive_jit(
+                self.d_alive, _pad_ids(ids, self.capacity), True)
+
+    def set_alive(self, alive):
+        assert self.device
+        self.d_alive = alive
+
+    # -------------------------------------------------------------- #
+    # reads
+
+    def rows(self, ids):
+        """Host coordinates for arena ids (lazy prefix materialization)."""
+        self._materialize(self.n)
+        return self._cache[np.asarray(ids, int)]
+
+    def _materialize(self, upto):
+        if not self.device or upto <= len(self._cache):
+            return
+        cached = len(self._cache)
+        size = bucket_size(upto - cached, floor=64)
+        size = min(size, self.capacity)
+        start = min(cached, self.capacity - size)
+        block = np.asarray(_fetch_rows_jit(
+            self.d_pts, jnp.asarray(start, jnp.int32), size), np.float64)
+        self._cache = np.concatenate(
+            [self._cache, block[cached - start:upto - start]])
+
+    def block_sorted(self, size):
+        """Compact (pts, log_l, valid) device block of the alive rows,
+        sorted ascending in log_l — the input to bound construction."""
+        assert self.device
+        size = min(size, self.capacity)
+        return _compact_sorted_jit(
+            self.d_pts, self.d_log_l, self.d_alive, size)
+
+    # -------------------------------------------------------------- #
+    # checkpoint rebuild
+
+    def load(self, pts, log_l, alive):
+        """Rebuild the arena from host arrays (checkpoint resume)."""
+        pts = np.atleast_2d(np.asarray(pts, np.float64))
+        n = len(pts)
+        self.n = n
+        self._cache = pts
+        if self.device:
+            self.capacity = bucket_size(max(n, 1), floor=ARENA_FLOOR)
+            buf_pts = np.zeros((self.capacity, self.n_dim), np.float32)
+            buf_pts[:n] = pts
+            buf_log_l = np.full(self.capacity, -np.inf, np.float32)
+            buf_log_l[:n] = log_l
+            buf_alive = np.zeros(self.capacity, bool)
+            buf_alive[:n] = alive
+            self.d_pts = jnp.asarray(buf_pts)
+            self.d_log_l = jnp.asarray(buf_log_l)
+            self.d_alive = jnp.asarray(buf_alive)

@@ -109,6 +109,20 @@ def stack_slot_contains(stack, index, points):
     return in_outer & _neural_contains(own.neural, pts)
 
 
+def arena_transfer_split(stack, index, pts, alive):
+    """Move alive arena rows that fall inside bound ``index`` to the
+    transfer set, on device.
+
+    Returns the membership of every arena row packed to bits (the only
+    data fetched — n/8 bytes) and the updated alive mask, which stays on
+    device. Replaces per-shell host ``contains`` sweeps over coordinate
+    arrays (reference: nautilus/sampler.py:1057-1060).
+    """
+    member = stack_slot_contains(stack, index, pts)
+    moved = member & alive
+    return jnp.packbits(moved), alive & ~moved
+
+
 def mc_volume_counters(stack, index, key, n_min, chunk, max_iters):
     """Monte-Carlo volume seeding counters for one bound slot.
 

@@ -31,10 +31,11 @@ from .bounds import UnitCube, NautilusBound
 from .bounds.basic import UnitCubeEllipsoidMixture
 from .neural import DEFAULT_HIDDEN
 from .ops import geometry as G
+from .ops.arena import PointArena
 from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
-from .ops.shell_stack import BoundStack, bound_contains_matrix, \
-    collect_shell_points, mc_volume_counters, sampling_phase, \
-    stack_slot_contains
+from .ops.shell_stack import BoundStack, arena_transfer_split, \
+    bound_contains_matrix, collect_shell_points, mc_volume_counters, \
+    sampling_phase, stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
@@ -44,11 +45,27 @@ _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
     mc_volume_counters)
 _slot_contains_jit = jax.jit(stack_slot_contains)
 _contains_matrix_jit = jax.jit(bound_contains_matrix)
+_arena_transfer_split_jit = jax.jit(arena_transfer_split)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _slice_rows_jit(a, n_rows):
     return a[:n_rows]
+
+
+@jax.jit
+def _pack_collect_meta(buf):
+    """Counters + log_l + innermost-earlier-bound columns of a collection
+    buffer — everything the host needs from a batch, coordinates excluded
+    (they stay on device, appended to the point arena)."""
+    n_t = buf.shape[0] - 1
+    d = buf.shape[1] - 2
+    return jnp.concatenate([buf[n_t, :4], buf[:n_t, d], buf[:n_t, d + 1]])
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _phase_log_l_rows(buf, n_rows):
+    return buf[:n_rows, buf.shape[1] - 1]
 
 
 class Sampler:
@@ -164,11 +181,14 @@ class Sampler:
         self.timing = {'bound': 0.0, 'sample': 0.0, 'likelihood': 0.0,
                        'total': 0.0}
 
-        # Run state.
+        # Run state. Point coordinates live in the arena (on device for
+        # the fused likelihood path); the host tracks shells and the
+        # transfer set as arena row-index arrays plus log_l/blob arrays.
         self.n_like = 0
         self.explored = False
         self.bounds = []
-        self.points = []
+        self.arena = PointArena(self.n_dim, device=(vectorized == 'jax'))
+        self.idx = []
         self.log_l = []
         self.blobs = None
         self.blobs_dtype = blobs_dtype
@@ -181,7 +201,7 @@ class Sampler:
         self.shell_log_v = np.zeros(0, dtype=float)
         self.shell_n_sample_exp = np.zeros(0, dtype=int)
         self.shell_end_exp = np.zeros(0, dtype=int)
-        self.points_t = np.zeros((0, self.n_dim))
+        self.idx_t = np.zeros(0, dtype=int)
         self.shell_t = np.zeros(0, dtype=int)
         self.log_l_t = np.zeros(0)
         self.blobs_t = None
@@ -246,7 +266,7 @@ class Sampler:
                         self._bound_stack = None
                         for shell in np.flatnonzero(self.shell_n == 0)[::-1]:
                             self.bounds.pop(shell)
-                            self.points.pop(shell)
+                            self.idx.pop(shell)
                             self.log_l.pop(shell)
                             if self.blobs is not None:
                                 self.blobs.pop(shell)
@@ -258,7 +278,7 @@ class Sampler:
 
                     self.shell_n_sample_exp = np.copy(self.shell_n_sample)
                     self.shell_end_exp = np.array(
-                        [len(p) for p in self.points])
+                        [len(i) for i in self.idx])
                     self.explored = True
                     self.discard_exploration = discard_exploration
                     if self.filepath is not None:
@@ -301,6 +321,22 @@ class Sampler:
             return 0.0
         return self.n_like / self.timing['total']
 
+    def _points(self, shell):
+        """Host coordinates of one shell (materializes the arena prefix)."""
+        return self.arena.rows(self.idx[shell])
+
+    @property
+    def points(self):
+        """Per-shell coordinate arrays (API parity with the reference's
+        host-resident lists, reference: nautilus/sampler.py:316). Reading
+        this materializes the device arena."""
+        return [self._points(shell) for shell in range(len(self.idx))]
+
+    @property
+    def points_t(self):
+        """Transfer-candidate coordinates (see ``points``)."""
+        return self.arena.rows(self.idx_t)
+
     # ------------------------------------------------------------------ #
     # exploration / sampling internals
 
@@ -329,9 +365,7 @@ class Sampler:
         else:
             if verbose:
                 self.print_status('Bounding', end='\r')
-            log_l = np.concatenate(self.log_l)
-            points = np.concatenate(self.points)[np.argsort(log_l)]
-            log_l = np.sort(log_l)
+            log_l = np.sort(np.concatenate(self.log_l))
             log_l_min = log_l[-self.n_live]
 
             # Skip likelihood plateaus when enough points lie above them.
@@ -342,15 +376,43 @@ class Sampler:
             if np.all(log_l >= log_l_min):
                 success = False
             else:
-                bound = NautilusBound.compute(
-                    points, log_l, log_l_min, self.log_v_live,
-                    enlarge_per_dim=self.enlarge_per_dim,
-                    n_points_min=self.n_points_min,
-                    split_threshold=self.split_threshold,
-                    periodic=self.periodic,
-                    n_networks=self.n_networks,
-                    neural_network_kwargs=self.neural_network_kwargs,
-                    keys=self.keys)
+                if self.arena.device:
+                    # Device-block construction: the arena's alive rows
+                    # (sorted by likelihood) feed every fit/split/train
+                    # kernel without the coordinates ever visiting the
+                    # host.
+                    n_alive = len(log_l)
+                    size = bucket_size(n_alive, floor=2048)
+                    blk_pts, blk_log_l, blk_valid = \
+                        self.arena.block_sorted(size)
+                    points_above = None
+                    if self.periodic is not None:
+                        all_pts = self.arena.rows(np.concatenate(self.idx))
+                        all_log_l = np.concatenate(self.log_l)
+                        points_above = all_pts[all_log_l >= log_l_min]
+                    bound = NautilusBound.compute_device(
+                        blk_pts, blk_log_l, blk_valid, n_alive, log_l_min,
+                        self.log_v_live,
+                        enlarge_per_dim=self.enlarge_per_dim,
+                        n_points_min=self.n_points_min,
+                        split_threshold=self.split_threshold,
+                        periodic=self.periodic,
+                        n_networks=self.n_networks,
+                        neural_network_kwargs=self.neural_network_kwargs,
+                        keys=self.keys, points_above=points_above)
+                else:
+                    log_l_cat = np.concatenate(self.log_l)
+                    points = self.arena.rows(np.concatenate(self.idx))[
+                        np.argsort(log_l_cat)]
+                    bound = NautilusBound.compute(
+                        points, log_l, log_l_min, self.log_v_live,
+                        enlarge_per_dim=self.enlarge_per_dim,
+                        n_points_min=self.n_points_min,
+                        split_threshold=self.split_threshold,
+                        periodic=self.periodic,
+                        n_networks=self.n_networks,
+                        neural_network_kwargs=self.neural_network_kwargs,
+                        keys=self.keys)
 
                 # MC volume seeding through the run stack: the new bound is
                 # inserted speculatively and only four counters are fetched
@@ -365,12 +427,20 @@ class Sampler:
                     stack, len(self.bounds) - 1, self.keys.next(),
                     1000, 1024, 256)
                 n_shells = len(self.bounds) - 1
-                pts_pad, n_all = pad_batch(
-                    np.concatenate([self.points[shell]
-                                    for shell in range(n_shells)]),
-                    floor=16384)
-                contains_future = _slot_contains_jit(
-                    stack, len(self.bounds) - 1, pts_pad)
+                if self.arena.device:
+                    # Containment of every arena row in the new bound: a
+                    # bit-packed n/8-byte fetch; the updated alive mask
+                    # stays on device.
+                    bits_future, alive_new = _arena_transfer_split_jit(
+                        stack, len(self.bounds) - 1, self.arena.d_pts,
+                        self.arena.d_alive)
+                else:
+                    pts_pad, n_all = pad_batch(
+                        np.concatenate([self._points(shell)
+                                        for shell in range(n_shells)]),
+                        floor=16384)
+                    contains_future = _slot_contains_jit(
+                        stack, len(self.bounds) - 1, pts_pad)
                 counters = np.asarray(mc_future, int)
                 n_tot, n_outer, n_self = (int(c) for c in counters[:3])
                 bound.outer_bound.n_sample += n_tot
@@ -393,7 +463,7 @@ class Sampler:
             self.shell_log_l = np.append(self.shell_log_l, np.nan)
             self.shell_log_v = np.append(self.shell_log_v, np.nan)
             self.shell_log_l_min = np.append(self.shell_log_l_min, log_l_min)
-            self.points.append(np.zeros((0, self.n_dim)))
+            self.idx.append(np.zeros(0, dtype=int))
             self.log_l.append(np.zeros(0))
             if self.blobs is not None:
                 self.blobs.append(np.zeros(
@@ -404,27 +474,34 @@ class Sampler:
             return False
 
         # Move points of previous shells that fall inside the new bound to
-        # the transfer set: their likelihoods can be reused.
+        # the transfer set: their likelihoods can be reused. Pure index
+        # bookkeeping — no coordinates move.
         if len(self.bounds) > 1:
             shell_t = []
-            points_t = []
+            idx_t = []
             log_l_t = []
             blobs_t = [] if self.blobs is not None else None
 
-            # One fused containment call over every shell's points instead
-            # of one dispatch per shell (latency-bound on remote devices);
-            # only the bool membership vector is fetched, and the kernel
-            # was already dispatched alongside the MC-volume counters.
             n_shells = len(self.bounds) - 1
-            offsets = np.cumsum([0] + [len(self.points[shell])
-                                       for shell in range(n_shells)])
-            in_bound_all = np.asarray(contains_future)[:n_all]
+            if self.arena.device:
+                self.arena.set_alive(alive_new)
+                bits = np.unpackbits(np.asarray(bits_future)).astype(bool)
+
+                def shell_in_bound(shell):
+                    return bits[self.idx[shell]]
+            else:
+                in_bound_all = np.asarray(contains_future)[:n_all]
+                offsets = np.cumsum([0] + [len(self.idx[shell])
+                                           for shell in range(n_shells)])
+
+                def shell_in_bound(shell):
+                    return in_bound_all[offsets[shell]:offsets[shell + 1]]
 
             for shell in range(n_shells):
-                in_bound = in_bound_all[offsets[shell]:offsets[shell + 1]]
+                in_bound = shell_in_bound(shell)
                 shell_t.append(np.repeat(shell, np.sum(in_bound)))
-                points_t.append(self.points[shell][in_bound])
-                self.points[shell] = self.points[shell][~in_bound]
+                idx_t.append(self.idx[shell][in_bound])
+                self.idx[shell] = self.idx[shell][~in_bound]
                 log_l_t.append(self.log_l[shell][in_bound])
                 self.log_l[shell] = self.log_l[shell][~in_bound]
                 if self.blobs is not None:
@@ -434,7 +511,7 @@ class Sampler:
                 self.update_shell_info(shell)
 
             self.shell_t = np.concatenate(shell_t)
-            self.points_t = np.concatenate(points_t)
+            self.idx_t = np.concatenate(idx_t)
             self.log_l_t = np.concatenate(log_l_t)
             if self.blobs is not None:
                 self.blobs_t = np.concatenate(blobs_t)
@@ -751,15 +828,18 @@ class Sampler:
         out = self._phase_step()(
             stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
             bound_log_v, np.int32(n_shell), np.float32(n_eff_target))
-        # Two-step fetch: metadata first (tiny), then only the buffer rows
-        # the phase actually filled — on low-bandwidth links the payload is
-        # the cost, so never transfer unused batch capacity.
+        # Two-step fetch: metadata first (tiny), then only the
+        # log-likelihoods of the rows the phase actually filled — the
+        # coordinates go straight from the phase buffer into the device
+        # arena, so point payloads never cross the link.
         buf_dev, blob_devs, meta, n_used = out
         meta = np.asarray(meta)
         n_used = int(n_used)
         if n_used > 0:
             n_rows = n_used * self.n_batch
-            buf = np.asarray(_slice_rows_jit(buf_dev, n_rows), np.float64)
+            log_l_rows = np.asarray(
+                _phase_log_l_rows(buf_dev, n_rows), np.float64)
+            ids0 = self.arena.append_buf(buf_dev, n_rows)
             blob_bufs = tuple(
                 np.asarray(_slice_rows_jit(b, n_rows)) for b in blob_devs)
         if n_used == 0:
@@ -779,14 +859,12 @@ class Sampler:
             return
 
         meta = np.asarray(meta, int)
-        buf = np.asarray(buf, np.float64)
-        d = self.n_dim
         self.timing['sample'] += time() - t_start
         for bi in range(n_used):
             shell, n_cand, n_outer, n_self, n_kept = meta[bi]
             self.timing['sample_cand'] = self.timing.get(
                 'sample_cand', 0) + int(n_cand)
-            rows = buf[bi * self.n_batch:bi * self.n_batch + n_kept]
+            sl = slice(bi * self.n_batch, bi * self.n_batch + n_kept)
             if shell > 0:
                 bound = self.bounds[shell]
                 bound.outer_bound.n_sample += int(n_cand)
@@ -794,10 +872,9 @@ class Sampler:
                 bound.n_sample += int(n_outer)
                 bound.n_reject += int(n_outer - n_self)
             self.shell_n_sample[shell] += int(n_self)
-            self.points[shell] = np.append(
-                self.points[shell], rows[:, :d], axis=0)
+            self.idx[shell] = np.append(self.idx[shell], ids0[sl])
             self.log_l[shell] = np.append(
-                self.log_l[shell], rows[:, d], axis=0)
+                self.log_l[shell], log_l_rows[sl], axis=0)
             if len(blob_bufs) > 0:
                 cols = [np.asarray(c)[bi * self.n_batch:
                                      bi * self.n_batch + n_kept]
@@ -823,13 +900,17 @@ class Sampler:
 
         One dispatch + one small host fetch per batch: the device-side
         collection loop (see
-        :func:`nautilus_tpu.ops.shell_stack.collect_shell_points`) returns
-        exactly ``n_batch`` accepted points with their likelihoods (for
-        ``vectorized='jax'``), candidate counters following the reference's
-        stopping rule, and each point's innermost earlier bound — which
-        feeds transfer-point substitution (reference:
+        :func:`nautilus_tpu.ops.shell_stack.collect_shell_points`) delivers
+        exactly ``n_batch`` accepted points, candidate counters following
+        the reference's stopping rule, and each point's innermost earlier
+        bound — which feeds transfer-point substitution (reference:
         nautilus/sampler.py:804-819) without per-bound ``contains``
-        dispatches.
+        dispatches. On the fused-likelihood path the coordinates are
+        appended straight to the device arena; the host fetches only
+        log-likelihoods, bound ids, and counters.
+
+        Returns ``(ids, log_l, blobs, n_fresh_above)`` where ``ids`` are
+        arena row indices.
         """
         t_start = time()
         index = shell if shell >= 0 else len(self.bounds) - 1
@@ -840,7 +921,7 @@ class Sampler:
         fused_like = self.vectorized == 'jax'
         use_transfer = shell == -1 and len(self.shell_t) > 0
 
-        idx_t = np.zeros(0, dtype=int)
+        pos_t = np.zeros(0, dtype=int)
         # Use the speculative batch issued at the end of the previous
         # exploration call if it targeted this same bound configuration.
         pending = self._prefetch
@@ -853,10 +934,29 @@ class Sampler:
             out = step(stack, index, self.keys.next())
 
         d = self.n_dim
-        fetched = jax.device_get(out)
-        packed = np.asarray(fetched[0], np.float64)
-        n_cand, n_outer, n_self, n_iter = packed[self.n_batch, :4].astype(
-            int)
+        if self.arena.device:
+            # Coordinates stay on device: append the batch to the arena
+            # and fetch only (counters | log_l | innermost-earlier-bound).
+            meta = np.asarray(_pack_collect_meta(out[0]), np.float64)
+            n_cand, n_outer, n_self, n_iter = meta[:4].astype(int)
+            log_l = meta[4:4 + self.n_batch]
+            shell_p = meta[4 + self.n_batch:].astype(int)
+            ids = self.arena.append_buf(out[0], self.n_batch)
+            points = None
+            blob_cols = [np.asarray(b) for b in out[1]] if fused_like \
+                else None
+        else:
+            fetched = jax.device_get(out)
+            packed = np.asarray(fetched[0], np.float64)
+            n_cand, n_outer, n_self, n_iter = packed[
+                self.n_batch, :4].astype(int)
+            rows = packed[:self.n_batch]
+            points = rows[:, :d]
+            log_l = rows[:, d]
+            shell_p = rows[:, d + 1].astype(int)
+            ids = None
+            blob_cols = [np.asarray(b) for b in fetched[1]] if fused_like \
+                else None
         self.timing['sample_chunks'] = self.timing.get(
             'sample_chunks', 0) + int(n_iter)
         self.timing['sample_cand'] = self.timing.get(
@@ -866,10 +966,6 @@ class Sampler:
                 'Shell sampling did not deliver {} points within {} '
                 'candidate chunks; the shell may be empty.'.format(
                     self.n_batch, self.MAX_COLLECT_ITERS))
-        rows = packed[:self.n_batch]
-        points = rows[:, :d]
-        log_l = rows[:, d]
-        shell_p = rows[:, d + 1].astype(int)
 
         if index > 0:
             bound.outer_bound.n_sample += n_cand
@@ -878,14 +974,11 @@ class Sampler:
             bound.n_reject += n_outer - n_self
         n_bound = n_self
 
-        blob_cols = [np.asarray(b) for b in fetched[1]] if fused_like \
-            else None
-
         # Substitute transfer points: fresh points whose innermost old
         # bound matches a transfer candidate's origin shell are replaced
         # so the old likelihood evaluations are reused.
         if use_transfer:
-            replace = np.zeros(len(points), dtype=bool)
+            replace = np.zeros(len(log_l), dtype=bool)
             for sh in range(len(self.bounds) - 1):
                 idx_1 = np.flatnonzero(self.shell_t == sh)
                 idx_2 = np.flatnonzero(shell_p == sh)
@@ -893,14 +986,21 @@ class Sampler:
                 if n_sub > 0:
                     chosen = self.rng.choice(
                         idx_1, size=n_sub, replace=False)
-                    idx_t = np.append(idx_t, chosen)
+                    pos_t = np.append(pos_t, chosen)
                     self.shell_t[chosen] = -1
                     replace[self.rng.choice(
                         idx_2, size=n_sub, replace=False)] = True
-            points = points[~replace]
-            log_l = log_l[~replace]
-            if blob_cols is not None:
-                blob_cols = [c[~replace] for c in blob_cols]
+            if np.any(replace):
+                if self.arena.device:
+                    self.arena.kill(ids[replace])
+                    ids = ids[~replace]
+                else:
+                    points = points[~replace]
+                log_l = log_l[~replace]
+                if blob_cols is not None:
+                    blob_cols = [c[~replace] for c in blob_cols]
+            if len(pos_t) > 0 and self.arena.device:
+                self.arena.revive(self.idx_t[pos_t])
 
         self.timing['sample'] += time() - t_start
         if fused_like:
@@ -913,6 +1013,9 @@ class Sampler:
             log_l = np.zeros(0)
             blobs = (self.blobs_t[:0] if self.blobs_t is not None
                      else None)
+        if not self.arena.device:
+            ids = self.arena.append_host(
+                points if points is not None else np.zeros((0, d)))
 
         # Speculatively dispatch the next exploration batch: during
         # exploration the next call almost always samples the same (last)
@@ -937,14 +1040,14 @@ class Sampler:
 
         # Reused transfer points join the shell with their stored
         # likelihoods (reference: nautilus/sampler.py:1116-1128).
-        if len(idx_t) > 0:
-            points = np.concatenate((self.points_t[idx_t], points))
-            log_l = np.concatenate((self.log_l_t[idx_t], log_l))
+        if len(pos_t) > 0:
+            ids = np.concatenate((self.idx_t[pos_t], ids))
+            log_l = np.concatenate((self.log_l_t[pos_t], log_l))
             if blobs is not None:
-                blobs = np.concatenate((self.blobs_t[idx_t], blobs))
+                blobs = np.concatenate((self.blobs_t[pos_t], blobs))
 
         self.shell_n_sample[shell] += n_bound
-        return points, log_l, blobs, n_fresh_above
+        return ids, log_l, blobs, n_fresh_above
 
     def evaluate_likelihood(self, points):
         """Evaluate the likelihood for a batch of unit-cube points.
@@ -1035,11 +1138,11 @@ class Sampler:
         if verbose:
             self.print_status('Sampling', end='\r')
 
-        points, log_l, blobs, n_fresh_above = self._add_samples_device(shell)
+        ids, log_l, blobs, n_fresh_above = self._add_samples_device(shell)
         if verbose:
             self.print_status('Computing', end='\r')
 
-        self.points[shell] = np.append(self.points[shell], points, axis=0)
+        self.idx[shell] = np.append(self.idx[shell], ids)
         self.log_l[shell] = np.append(self.log_l[shell], log_l, axis=0)
         if blobs is not None:
             if self.blobs is None:
@@ -1100,10 +1203,10 @@ class Sampler:
         if self._discard_exploration and self.explored:
             start = self.shell_end_exp
         else:
-            start = np.zeros(len(self.points), dtype=int)
+            start = np.zeros(len(self.idx), dtype=int)
 
-        points = np.concatenate(
-            [p[s:] for p, s in zip(self.points, start)])
+        points = self.arena.rows(np.concatenate(
+            [i[s:] for i, s in zip(self.idx, start)]))
         log_v = np.repeat(self.shell_log_v -
                           np.log(np.maximum(self.shell_n, 1)), self.shell_n)
         log_l = np.concatenate(
@@ -1249,9 +1352,10 @@ class Sampler:
         """Cross-occupation matrix of shells and bounds
         (reference: sampler.py:1223-1251)."""
         n_bounds = len(self.bounds)
-        sizes = [len(p) for p in self.points]
+        sizes = [len(i) for i in self.idx]
         offsets = np.cumsum([0] + sizes)
-        member = self._membership_matrix(np.concatenate(self.points))
+        member = self._membership_matrix(
+            self.arena.rows(np.concatenate(self.idx)))
         m = np.zeros((n_bounds, n_bounds), dtype=int)
         for i in range(n_bounds):
             m[i] = np.sum(member[:, offsets[i]:offsets[i + 1]], axis=1)
@@ -1322,10 +1426,16 @@ class Sampler:
 
         for shell in range(len(self.bounds)):
             group.create_dataset(
-                'points_{}'.format(shell), data=self.points[shell],
+                'points_{}'.format(shell), data=self._points(shell),
                 maxshape=(None, self.n_dim))
             group.create_dataset(
                 'log_l_{}'.format(shell), data=self.log_l[shell],
+                maxshape=(None,))
+            # Arena row indices: preserve the arena ordering across resume
+            # so tie-breaking in the device-block sort stays bitwise
+            # deterministic.
+            group.create_dataset(
+                'idx_{}'.format(shell), data=self.idx[shell],
                 maxshape=(None,))
             if self.blobs is not None:
                 maxshape = list(self.blobs[shell].shape)
@@ -1336,6 +1446,7 @@ class Sampler:
 
         group.create_dataset('points_t', data=self.points_t,
                              maxshape=(None, self.n_dim))
+        group.create_dataset('idx_t', data=self.idx_t, maxshape=(None,))
         group.create_dataset('shell_t', data=self.shell_t, maxshape=(None,))
         group.create_dataset('log_l_t', data=self.log_l_t, maxshape=(None,))
         if self.blobs_t is not None:
@@ -1390,15 +1501,18 @@ class Sampler:
                     'n_update_iter', 'n_like_iter']:
             group.attrs[key] = getattr(self, key)
 
-        group['points_{}'.format(shell)].resize(self.points[shell].shape)
-        group['points_{}'.format(shell)][...] = self.points[shell]
+        points = self._points(shell)
+        group['points_{}'.format(shell)].resize(points.shape)
+        group['points_{}'.format(shell)][...] = points
         group['log_l_{}'.format(shell)].resize(self.log_l[shell].shape)
         group['log_l_{}'.format(shell)][...] = self.log_l[shell]
+        group['idx_{}'.format(shell)].resize(self.idx[shell].shape)
+        group['idx_{}'.format(shell)][...] = self.idx[shell]
         if self.blobs is not None:
             group['blobs_{}'.format(shell)].resize(self.blobs[shell].shape)
             group['blobs_{}'.format(shell)][...] = self.blobs[shell]
 
-        for key in ['points_t', 'shell_t', 'log_l_t', 'blobs_t']:
+        for key in ['points_t', 'idx_t', 'shell_t', 'log_l_t', 'blobs_t']:
             if getattr(self, key) is not None:
                 group[key].resize(getattr(self, key).shape)
                 group[key][...] = getattr(self, key)
@@ -1422,11 +1536,15 @@ class Sampler:
                         'n_update_iter', 'n_like_iter']:
                 setattr(self, key, group.attrs[key])
 
+            points_lists = []
+            idx_lists = []
             for shell in range(len(self.shell_n)):
-                self.points.append(
+                points_lists.append(
                     np.array(group['points_{}'.format(shell)]))
                 self.log_l.append(
                     np.array(group['log_l_{}'.format(shell)]))
+                idx_lists.append(
+                    np.array(group['idx_{}'.format(shell)], dtype=int))
                 if 'blobs_{}'.format(shell) in group:
                     if shell == 0:
                         self.blobs = []
@@ -1435,9 +1553,38 @@ class Sampler:
                     if shell == 0:
                         self.blobs_dtype = self.blobs[-1].dtype
 
-            for key in ['shell_t', 'points_t', 'log_l_t', 'blobs_t']:
+            points_t = np.zeros((0, self.n_dim))
+            idx_t_stored = np.zeros(0, dtype=int)
+            for key in ['shell_t', 'log_l_t', 'blobs_t']:
                 if key in group:
                     setattr(self, key, np.array(group[key]))
+            if 'points_t' in group:
+                points_t = np.array(group['points_t'])
+            if 'idx_t' in group:
+                idx_t_stored = np.array(group['idx_t'], dtype=int)
+
+            # Rebuild the arena, compacted but order-preserving: relative
+            # arena order (the tie-breaker of the device-block sort) is a
+            # function of the stored row indices, so a resumed run draws
+            # the exact same bound fits as an uninterrupted one.
+            all_ids = np.concatenate(idx_lists + [idx_t_stored])
+            uorder = np.unique(all_ids)
+            n_rows = len(uorder)
+            pts = np.zeros((n_rows, self.n_dim))
+            log_l_arr = np.full(n_rows, -np.inf)
+            alive = np.zeros(n_rows, bool)
+            for shell in range(len(self.shell_n)):
+                pos = np.searchsorted(uorder, idx_lists[shell])
+                pts[pos] = points_lists[shell]
+                log_l_arr[pos] = self.log_l[shell]
+                alive[pos] = True
+                self.idx.append(pos)
+            pos = np.searchsorted(uorder, idx_t_stored)
+            pts[pos] = points_t
+            if len(pos) > 0:
+                log_l_arr[pos] = self.log_l_t
+            self.idx_t = pos
+            self.arena.load(pts, log_l_arr, alive)
 
             self.bounds = [
                 UnitCube.read(fstream['bound_0'], keys=self.keys)]
