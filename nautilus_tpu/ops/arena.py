@@ -29,7 +29,7 @@ ARENA_FLOOR = 4096
 
 
 @jax.jit
-def _append_jit(pts, log_l, alive, buf, n0, k):
+def _append_jit(pts, log_l, alive, shell, buf, n0, k, shell_val):
     """Scatter the first ``k`` rows of ``buf`` (cols [pts | log_l | ...])
     into the arena at offset ``n0``; one executable serves every (n0, k)."""
     d = pts.shape[1]
@@ -38,12 +38,18 @@ def _append_jit(pts, log_l, alive, buf, n0, k):
     pts = pts.at[idx].set(buf[:, :d].astype(pts.dtype), mode='drop')
     log_l = log_l.at[idx].set(buf[:, d].astype(log_l.dtype), mode='drop')
     alive = alive.at[idx].set(True, mode='drop')
-    return pts, log_l, alive
+    shell = shell.at[idx].set(shell_val, mode='drop')
+    return pts, log_l, alive, shell
 
 
 @jax.jit
 def _set_alive_jit(alive, ids, value):
     return alive.at[ids].set(value, mode='drop')
+
+
+@jax.jit
+def _set_shell_jit(shell, ids, value):
+    return shell.at[ids].set(value, mode='drop')
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -61,14 +67,15 @@ def _fetch_rows_jit(pts, start, size):
     return jax.lax.dynamic_slice(pts, (start, 0), (size, pts.shape[1]))
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _grow_jit(pts, log_l, alive, new_cap):
+@partial(jax.jit, static_argnums=(4,))
+def _grow_jit(pts, log_l, alive, shell, new_cap):
     extra = new_cap - pts.shape[0]
     return (jnp.concatenate([pts, jnp.zeros((extra, pts.shape[1]),
                                             pts.dtype)]),
             jnp.concatenate([log_l, jnp.full((extra,), -jnp.inf,
                                              log_l.dtype)]),
-            jnp.concatenate([alive, jnp.zeros((extra,), bool)]))
+            jnp.concatenate([alive, jnp.zeros((extra,), bool)]),
+            jnp.concatenate([shell, jnp.zeros((extra,), shell.dtype)]))
 
 
 def _pad_ids(ids, cap):
@@ -100,6 +107,7 @@ class PointArena:
             self.d_pts = jnp.zeros((self.capacity, n_dim), jnp.float32)
             self.d_log_l = jnp.full((self.capacity,), -jnp.inf, jnp.float32)
             self.d_alive = jnp.zeros((self.capacity,), bool)
+            self.d_shell = jnp.zeros((self.capacity,), jnp.int32)
         else:
             self.capacity = 0
 
@@ -110,21 +118,32 @@ class PointArena:
         if need <= self.capacity:
             return
         new_cap = bucket_size(need, floor=ARENA_FLOOR)
-        self.d_pts, self.d_log_l, self.d_alive = _grow_jit(
-            self.d_pts, self.d_log_l, self.d_alive, new_cap)
+        self.d_pts, self.d_log_l, self.d_alive, self.d_shell = _grow_jit(
+            self.d_pts, self.d_log_l, self.d_alive, self.d_shell, new_cap)
         self.capacity = new_cap
 
-    def append_buf(self, buf, k):
+    def append_buf(self, buf, k, shell=0):
         """Append the first ``k`` rows of a device buffer whose columns are
         ``[point | log_l | ...]``. Device-to-device; nothing is fetched.
         Returns the new rows' arena ids."""
         assert self.device
         self._ensure_capacity(self.n + int(buf.shape[0]))
-        self.d_pts, self.d_log_l, self.d_alive = _append_jit(
-            self.d_pts, self.d_log_l, self.d_alive, buf,
-            jnp.asarray(self.n, jnp.int32), jnp.asarray(k, jnp.int32))
+        self.d_pts, self.d_log_l, self.d_alive, self.d_shell = _append_jit(
+            self.d_pts, self.d_log_l, self.d_alive, self.d_shell, buf,
+            jnp.asarray(self.n, jnp.int32), jnp.asarray(k, jnp.int32),
+            jnp.asarray(shell, jnp.int32))
         ids = np.arange(self.n, self.n + int(k))
         self.n += int(k)
+        return ids
+
+    def adopt(self, pts, log_l, alive, shell, n_new):
+        """Take ownership of updated device buffers returned by a fused
+        phase kernel that appended ``n_new`` rows in place."""
+        assert self.device
+        self.d_pts, self.d_log_l, self.d_alive, self.d_shell = \
+            pts, log_l, alive, shell
+        ids = np.arange(self.n, self.n + int(n_new))
+        self.n += int(n_new)
         return ids
 
     def append_host(self, points):
@@ -145,10 +164,13 @@ class PointArena:
             self.d_alive = _set_alive_jit(
                 self.d_alive, _pad_ids(ids, self.capacity), False)
 
-    def revive(self, ids):
+    def revive(self, ids, shell=None):
         if self.device and len(ids) > 0:
-            self.d_alive = _set_alive_jit(
-                self.d_alive, _pad_ids(ids, self.capacity), True)
+            padded = _pad_ids(ids, self.capacity)
+            self.d_alive = _set_alive_jit(self.d_alive, padded, True)
+            if shell is not None:
+                self.d_shell = _set_shell_jit(
+                    self.d_shell, padded, jnp.asarray(shell, jnp.int32))
 
     def set_alive(self, alive):
         assert self.device
@@ -185,7 +207,7 @@ class PointArena:
     # -------------------------------------------------------------- #
     # checkpoint rebuild
 
-    def load(self, pts, log_l, alive):
+    def load(self, pts, log_l, alive, shell=None):
         """Rebuild the arena from host arrays (checkpoint resume)."""
         pts = np.atleast_2d(np.asarray(pts, np.float64))
         n = len(pts)
@@ -199,6 +221,10 @@ class PointArena:
             buf_log_l[:n] = log_l
             buf_alive = np.zeros(self.capacity, bool)
             buf_alive[:n] = alive
+            buf_shell = np.zeros(self.capacity, np.int32)
+            if shell is not None:
+                buf_shell[:n] = shell
             self.d_pts = jnp.asarray(buf_pts)
             self.d_log_l = jnp.asarray(buf_log_l)
             self.d_alive = jnp.asarray(buf_alive)
+            self.d_shell = jnp.asarray(buf_shell)

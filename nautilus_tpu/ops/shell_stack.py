@@ -290,7 +290,7 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
 
 def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
                    bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
-                   max_batches, eval_fn, max_iters=4096):
+                   max_batches, eval_fn, max_iters=4096, n_budget=None):
     """Drive the whole shell-filling ("sampling") phase on device.
 
     The reference's post-exploration loop (reference:
@@ -370,11 +370,18 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
         n_eff, _ = stats(shell_n, shell_ns, m1, s1, m2, s2)
         return ~jnp.any(need_fill(shell_n)) & (n_eff >= n_eff_target)
 
+    # Dynamic batch budget: the caller bounds how many batches this
+    # dispatch may run (e.g. the remaining n_like_max allowance) so the
+    # run-level stopping rules keep the reference's one-batch granularity.
+    budget = (jnp.asarray(max_batches, jnp.int32) if n_budget is None
+              else jnp.minimum(jnp.asarray(n_budget, jnp.int32),
+                               max_batches))
+
     def cond(state):
         b, starved = state[9], state[10]
         shell_n, shell_ns = state[3], state[4]
         m1, s1, m2, s2 = state[5], state[6], state[7], state[8]
-        return (b < max_batches) & ~starved & ~phase_done(
+        return (b < budget) & ~starved & ~phase_done(
             shell_n, shell_ns, m1, s1, m2, s2)
 
     def body(state):
@@ -473,6 +480,185 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
               jnp.asarray(0, jnp.int32), jnp.asarray(False))
     state = jax.lax.while_loop(cond, body, state0)
     return state[0], state[1], state[2], state[9]
+
+
+def exploration_phase(arena_pts, arena_log_l, arena_alive, arena_shell,
+                      arena_n, stack, key, index, shell_ns, m1, s1,
+                      bound_log_v, slot_valid, log_l_min_last, n_total0,
+                      n_update_rem, n_like_rem, f_live_target, n_live,
+                      n_batch, chunk, max_batches, eval_fn, max_iters=4096,
+                      n_budget=None):
+    """Drive a slice of the exploration phase on device.
+
+    The reference's exploration loop (reference:
+    nautilus/sampler.py:436-480) alternates batches from the newest shell
+    with two tiny host decisions: build a new bound once enough fresh
+    above-threshold points accumulated, and end exploration once the live
+    set holds less than ``f_live`` of the evidence. Here up to
+    ``max_batches`` batches run inside one program: accepted points are
+    written straight into the point arena (with their shell id), and both
+    stopping rules are evaluated on device — the bound trigger from
+    streaming counters, ``f_live`` exactly, via a top-``n_live`` scan of
+    the arena's alive log-likelihoods combined with per-shell streaming
+    log-sum-exp accumulators (per-point volume:
+    ``bound_log_v[s] - log(shell_ns[s])``, reference:
+    nautilus/sampler.py:1147-1169). The host fetches per-batch counters
+    and the new rows' log-likelihoods — O(n_batch) floats per batch, no
+    coordinates — then re-applies the rules in float64 at the dispatch
+    boundary (the device decision only paces the batching).
+
+    Exploration-specific assumptions: every batch targets the *last*
+    bound, no later bound exists (the shell is the bound), and the
+    transfer pool is empty — callers with pending transfer candidates must
+    use the single-batch path.
+
+    Returns ``(arena..., log_l_buf, meta, n_used)`` where ``meta`` rows
+    are ``(n_cand, n_outer, n_self, n_kept, n_above)``.
+    """
+    f32 = jnp.float32
+    d = arena_pts.shape[1]
+    cap_a = arena_pts.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, f32)
+
+    if eval_fn is not None:
+        out_shape = jax.eval_shape(
+            eval_fn, jax.ShapeDtypeStruct((chunk, d), f32))
+        blob_shapes = (tuple(out_shape[1:])
+                       if isinstance(out_shape, tuple) else ())
+    else:
+        blob_shapes = ()
+
+    cap = max_batches * n_batch
+    log_l_buf0 = jnp.zeros(cap, f32)
+    blob_bufs0 = tuple(
+        jnp.zeros((cap,) + s.shape[1:], s.dtype) for s in blob_shapes)
+    meta0 = jnp.full((max_batches, 5), -1, jnp.int32)
+
+    own = _slice_pytree(stack, index)
+
+    def f_live(log_l_a, alive_a, shell_a, shell_ns_cur, m1_c, s1_c):
+        log_v_pt = bound_log_v - jnp.log(
+            jnp.maximum(shell_ns_cur.astype(f32), 1.0))
+        occupied = slot_valid & (s1_c > 0)
+        den_terms = jnp.where(
+            occupied, m1_c + jnp.log(jnp.maximum(s1_c, 1e-30)) + log_v_pt,
+            neg_inf)
+        den = jax.scipy.special.logsumexp(den_terms)
+        key_l = jnp.where(alive_a, log_l_a, neg_inf)
+        top_l, top_i = jax.lax.top_k(key_l, n_live)
+        tv = log_v_pt[shell_a[top_i]]
+        num = jax.scipy.special.logsumexp(
+            jnp.where(top_l > -1e30, top_l + tv, neg_inf))
+        return jnp.exp(jnp.minimum(num - den, 0.0))
+
+    def stop_now(state):
+        (_, _, _, _, _, log_l_a, alive_a, shell_a,
+         shell_ns_c, m1_c, s1_c, b, starved, upd_rem, like_rem,
+         n_total) = state
+        trigger = ((upd_rem <= 0) | (like_rem <= 0)) & (n_total > n_live)
+        fl = f_live(log_l_a, alive_a, shell_a, shell_ns_c, m1_c, s1_c)
+        return trigger | (fl <= f_live_target) | starved
+
+    budget = (jnp.asarray(max_batches, jnp.int32) if n_budget is None
+              else jnp.minimum(jnp.asarray(n_budget, jnp.int32),
+                               max_batches))
+
+    def cond(state):
+        b, starved = state[11], state[12]
+        return (b < budget) & ~stop_now(state)
+
+    def body(state):
+        (log_l_buf, blob_bufs, meta, pts_a, _unused, log_l_a, alive_a,
+         shell_a, shell_ns_c, m1_c, s1_c, b, starved, upd_rem, like_rem,
+         n_total) = state
+        base_buf = b * n_batch
+        base_arena = arena_n + b * n_batch
+
+        def in_cond(s):
+            return (s[1] < n_batch) & (s[10] < max_iters)
+
+        def in_body(s):
+            (pts_a, n_kept, n_cand, n_outer, n_self, n_above, log_l_a,
+             alive_a, shell_a, lbuf, it, bb) = s
+            sub = jax.random.fold_in(jax.random.fold_in(key, b), it)
+            points_s, outer_acc = G.union_sample_batch(
+                own.outer, own.outer_mask, sub, chunk, unit=True)
+            self_acc = outer_acc & _neural_contains(own.neural, points_s)
+            points = jnp.mod(points_s - own.shift, 1.0)
+
+            if eval_fn is not None:
+                result = eval_fn(points)
+                if isinstance(result, tuple):
+                    log_l, blobs = result[0], result[1:]
+                else:
+                    log_l, blobs = result, ()
+            else:
+                log_l, blobs = jnp.zeros(chunk, f32), ()
+
+            missing = n_batch - n_kept
+            acc_i = self_acc.astype(jnp.int32)
+            csum = jnp.cumsum(acc_i)
+            use = (csum - acc_i) < missing
+            kept = self_acc & use
+
+            pos_a = jnp.where(kept, base_arena + n_kept + csum - 1,
+                              cap_a + 1)
+            pts_a = pts_a.at[pos_a].set(points.astype(f32), mode='drop')
+            log_l_a = log_l_a.at[pos_a].set(log_l.astype(f32), mode='drop')
+            alive_a = alive_a.at[pos_a].set(True, mode='drop')
+            shell_a = shell_a.at[pos_a].set(index.astype(jnp.int32),
+                                            mode='drop')
+            pos_b = jnp.where(kept, base_buf + n_kept + csum - 1, cap + 1)
+            lbuf = lbuf.at[pos_b].set(log_l.astype(f32), mode='drop')
+            bb = tuple(bbuf.at[pos_b].set(bl, mode='drop')
+                       for bbuf, bl in zip(bb, blobs))
+
+            n_kept = n_kept + jnp.sum(kept.astype(jnp.int32))
+            n_cand = n_cand + jnp.sum(use.astype(jnp.int32))
+            n_outer = n_outer + jnp.sum((outer_acc & use).astype(jnp.int32))
+            n_self = n_self + jnp.sum((self_acc & use).astype(jnp.int32))
+            n_above = n_above + jnp.sum(
+                (kept & (log_l >= log_l_min_last)).astype(jnp.int32))
+            return (pts_a, n_kept, n_cand, n_outer, n_self, n_above,
+                    log_l_a, alive_a, shell_a, lbuf, it + 1, bb)
+
+        zero = jnp.asarray(0, jnp.int32)
+        (pts_a, n_kept, n_cand, n_outer, n_self, n_above, log_l_a,
+         alive_a, shell_a, log_l_buf, _, blob_bufs) = jax.lax.while_loop(
+            in_cond, in_body,
+            (pts_a, zero, zero, zero, zero, zero, log_l_a, alive_a,
+             shell_a, log_l_buf, zero, blob_bufs))
+
+        # Streaming logsumexp update of the last shell's likelihood mass
+        # (the -1e30 sentinel of an empty shell vanishes in the merge).
+        batch_l = jax.lax.dynamic_slice(log_l_buf, (base_buf,), (n_batch,))
+        bm1 = jnp.maximum(jnp.max(batch_l), -1e30)
+        bs1 = jnp.sum(jnp.exp(batch_l - bm1))
+        om = m1_c[index]
+        mm = jnp.maximum(om, bm1)
+        m1_c = m1_c.at[index].set(mm)
+        s1_c = s1_c.at[index].set(
+            s1_c[index] * jnp.exp(om - mm) + bs1 * jnp.exp(bm1 - mm))
+        shell_ns_c = shell_ns_c.at[index].add(n_self)
+
+        meta = meta.at[b].set(jnp.stack(
+            [n_cand, n_outer, n_self, n_kept, n_above]))
+        return (log_l_buf, blob_bufs, meta, pts_a, _unused, log_l_a,
+                alive_a, shell_a, shell_ns_c, m1_c, s1_c, b + 1,
+                n_kept < n_batch, upd_rem - n_above, like_rem - n_batch,
+                n_total + n_kept)
+
+    state0 = (log_l_buf0, blob_bufs0, meta0, arena_pts,
+              jnp.asarray(0, jnp.int32), arena_log_l, arena_alive,
+              arena_shell,
+              jnp.asarray(shell_ns, jnp.int32), jnp.asarray(m1, f32),
+              jnp.asarray(s1, f32), jnp.asarray(0, jnp.int32),
+              jnp.asarray(False), jnp.asarray(n_update_rem, jnp.int32),
+              jnp.asarray(n_like_rem, jnp.int32),
+              jnp.asarray(n_total0, jnp.int32))
+    state = jax.lax.while_loop(cond, body, state0)
+    return (state[3], state[5], state[6], state[7],
+            state[0], state[1], state[2], state[11])
 
 
 def sample_shell_batch(stack, index, key, n_points):

@@ -34,8 +34,8 @@ from .ops import geometry as G
 from .ops.arena import PointArena
 from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
 from .ops.shell_stack import BoundStack, arena_transfer_split, \
-    bound_contains_matrix, collect_shell_points, mc_volume_counters, \
-    sampling_phase, stack_slot_contains
+    bound_contains_matrix, collect_shell_points, exploration_phase, \
+    mc_volume_counters, sampling_phase, stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
@@ -166,6 +166,7 @@ class Sampler:
         self._bound_stack = None
         self._fused_step_fn = None
         self._phase_step_fn = None
+        self._explore_step_fn = None
         # In-flight speculative candidate batch (device future). Issuance
         # and reuse follow deterministic rules so checkpoint resume stays
         # bitwise identical; see _add_samples_device.
@@ -252,12 +253,21 @@ class Sampler:
                     if self.filepath is not None:
                         self.write(self.filepath, overwrite=True)
 
-                self.n_update_iter += self.add_samples(-1, verbose=verbose)
-                self.n_like_iter += self.n_batch
-                if self.filepath is not None:
-                    if self.n_like == self.n_batch:
-                        self.write(self.filepath, overwrite=True)
-                    self.write_shell_update(self.filepath, -1)
+                if (self.vectorized == 'jax' and
+                        not bool(np.any(self.shell_t >= 0))):
+                    # Multi-batch device path: both exploration stopping
+                    # rules run on device, one round trip per up-to-
+                    # PHASE_MAX_BATCHES batches.
+                    self._exploration_phase_device(
+                        f_live, n_like_max, verbose=verbose)
+                else:
+                    self.n_update_iter += self.add_samples(
+                        -1, verbose=verbose)
+                    self.n_like_iter += self.n_batch
+                    if self.filepath is not None:
+                        if self.n_like == self.n_batch:
+                            self.write(self.filepath, overwrite=True)
+                        self.write_shell_update(self.filepath, -1)
 
                 if self.f_live <= f_live:
                     # Remove unoccupied shells: they hold ~zero volume and
@@ -287,7 +297,8 @@ class Sampler:
             elif self.vectorized == 'jax':
                 # Device path: the whole fill-or-argmax decision loop runs
                 # on device, one round trip per PHASE_MAX_BATCHES batches.
-                self._sampling_phase_device(n_shell, n_eff, verbose=verbose)
+                self._sampling_phase_device(n_shell, n_eff, n_like_max,
+                                            verbose=verbose)
 
             elif np.any(self.shell_n < n_shell):
                 shell = np.flatnonzero(self.shell_n < n_shell)[0]
@@ -773,16 +784,27 @@ class Sampler:
 
             @jax.jit
             def phase(stack, key, shell_n, shell_ns, m1, s1, m2, s2,
-                      bound_log_v, n_shell_min, n_eff_target):
+                      bound_log_v, n_shell_min, n_eff_target, n_budget):
                 return sampling_phase(
                     stack, key, shell_n, shell_ns, m1, s1, m2, s2,
                     bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
-                    max_batches, eval_fn, max_iters=max_iters)
+                    max_batches, eval_fn, max_iters=max_iters,
+                    n_budget=n_budget)
 
             self._phase_step_fn = phase
         return self._phase_step_fn
 
-    def _sampling_phase_device(self, n_shell, n_eff_target, verbose=False):
+    def _batch_budget(self, n_like_max):
+        """Batches allowed before ``n_like`` reaches ``n_like_max`` —
+        keeps the reference's one-batch stopping granularity (reference:
+        nautilus/sampler.py:433) through multi-batch dispatches."""
+        remaining = n_like_max - self.n_like
+        if not np.isfinite(remaining):
+            return np.int32(2 ** 30)
+        return np.int32(max(-(-int(remaining) // self.n_batch), 1))
+
+    def _sampling_phase_device(self, n_shell, n_eff_target,
+                               n_like_max=np.inf, verbose=False):
         """Run (a slice of) the sampling phase in one device dispatch.
 
         Uploads the per-shell streaming statistics, lets the device make up
@@ -827,7 +849,8 @@ class Sampler:
 
         out = self._phase_step()(
             stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
-            bound_log_v, np.int32(n_shell), np.float32(n_eff_target))
+            bound_log_v, np.int32(n_shell), np.float32(n_eff_target),
+            self._batch_budget(n_like_max))
         # Two-step fetch: metadata first (tiny), then only the
         # log-likelihoods of the rows the phase actually filled — the
         # coordinates go straight from the phase buffer into the device
@@ -890,6 +913,145 @@ class Sampler:
             if self.filepath is not None:
                 self.write_shell_update(self.filepath, int(shell))
         if meta[n_used - 1, 4] < self.n_batch:
+            raise RuntimeError(
+                'Shell sampling did not deliver {} points within {} '
+                'candidate chunks; the shell may be empty.'.format(
+                    self.n_batch, self.MAX_COLLECT_ITERS))
+
+    def _explore_phase_step(self):
+        """Compiled exploration-phase driver (see
+        ops.shell_stack.exploration_phase)."""
+        if self._explore_step_fn is None:
+            eval_fn = self._device_eval_fn()
+            n_batch = self.n_batch
+            chunk = self.SHELL_BATCH
+            max_batches = self.PHASE_MAX_BATCHES
+            max_iters = self.MAX_COLLECT_ITERS
+            n_live = self.n_live
+
+            @jax.jit
+            def phase(pts, log_l, alive, shell, arena_n, stack, key, index,
+                      shell_ns, m1, s1, bound_log_v, slot_valid,
+                      log_l_min_last, n_total0, n_update_rem, n_like_rem,
+                      f_live_target, n_budget):
+                return exploration_phase(
+                    pts, log_l, alive, shell, arena_n, stack, key, index,
+                    shell_ns, m1, s1, bound_log_v, slot_valid,
+                    log_l_min_last, n_total0, n_update_rem, n_like_rem,
+                    f_live_target, n_live, n_batch, chunk, max_batches,
+                    eval_fn, max_iters=max_iters, n_budget=n_budget)
+
+            self._explore_step_fn = phase
+        return self._explore_step_fn
+
+    def _exploration_phase_device(self, f_live_target, n_like_max=np.inf,
+                                  verbose=False):
+        """Run up to PHASE_MAX_BATCHES exploration batches in one dispatch.
+
+        The device paces itself with the same rules the host loop applies
+        (bound trigger and ``f_live``, reference:
+        nautilus/sampler.py:436-480); accepted points land directly in the
+        arena and only counters plus the new log-likelihoods are fetched.
+        The host replays the per-batch metadata and re-applies every rule
+        in float64 at the dispatch boundary, so the run remains a pure
+        function of (seed, state) and checkpoint resume stays exact.
+        """
+        if verbose:
+            self.print_status('Sampling', end='\r')
+        t_start = time()
+        index = len(self.bounds) - 1
+        # The phase path never consumes the single-batch speculative
+        # dispatch; drop it (deterministic: issuance is skipped when the
+        # next call takes this path).
+        self._prefetch = None
+        self.arena._ensure_capacity(
+            self.arena.n + self.PHASE_MAX_BATCHES * self.n_batch)
+        stack = self._ensure_stack()
+        b_pad = stack.bound_mask.shape[0]
+
+        shell_ns = np.zeros(b_pad, np.int32)
+        m1 = np.full(b_pad, -1e30, np.float32)
+        s1 = np.zeros(b_pad, np.float32)
+        bound_log_v = np.full(b_pad, -np.inf, np.float32)
+        slot_valid = np.zeros(b_pad, bool)
+        for i in range(len(self.bounds)):
+            slot_valid[i] = True
+            shell_ns[i] = self.shell_n_sample[i]
+            bound_log_v[i] = self.bounds[i].log_v
+            ll = self.log_l[i]
+            if len(ll) > 0:
+                m = max(float(np.max(ll)), -1e30)
+                m1[i] = m
+                s1[i] = float(np.sum(np.exp(ll - m)))
+
+        out = self._explore_phase_step()(
+            self.arena.d_pts, self.arena.d_log_l, self.arena.d_alive,
+            self.arena.d_shell, jnp.asarray(self.arena.n, jnp.int32),
+            stack, self.keys.next(), jnp.asarray(index, jnp.int32),
+            shell_ns, m1, s1, bound_log_v, slot_valid,
+            np.float32(self.shell_log_l_min[index]),
+            np.int32(np.sum(self.shell_n)),
+            np.int32(self.n_update - self.n_update_iter),
+            np.int32(self.n_like_new_bound - self.n_like_iter),
+            np.float32(f_live_target), self._batch_budget(n_like_max))
+        pts_a, log_l_a, alive_a, shell_a, log_l_buf, blob_bufs, meta, \
+            n_used = out
+        meta = np.asarray(meta, int)
+        n_used = int(n_used)
+
+        if n_used == 0:
+            # Device f32 stats disagreed with the host's f64 rules near a
+            # threshold: fall back to one host-paced batch so the run loop
+            # always progresses.
+            self.n_update_iter += self.add_samples(-1, verbose=verbose)
+            self.n_like_iter += self.n_batch
+            if self.filepath is not None:
+                if not Path(self.filepath).exists():
+                    self.write(self.filepath, overwrite=True)
+                self.write_shell_update(self.filepath, -1)
+            return
+
+        n_rows = n_used * self.n_batch
+        log_l_rows = np.asarray(
+            _slice_rows_jit(log_l_buf, n_rows), np.float64)
+        blob_cols_all = tuple(
+            np.asarray(_slice_rows_jit(b, n_rows)) for b in blob_bufs)
+        ids0 = self.arena.adopt(pts_a, log_l_a, alive_a, shell_a, n_rows)
+        self.timing['sample'] += time() - t_start
+
+        if self.filepath is not None and not Path(self.filepath).exists():
+            self.write(self.filepath, overwrite=True)
+
+        for bi in range(n_used):
+            n_cand, n_outer, n_self, n_kept, n_above = meta[bi]
+            self.timing['sample_cand'] = self.timing.get(
+                'sample_cand', 0) + int(n_cand)
+            sl = slice(bi * self.n_batch, bi * self.n_batch + n_kept)
+            if index > 0:
+                bound = self.bounds[index]
+                bound.outer_bound.n_sample += int(n_cand)
+                bound.outer_bound.n_reject += int(n_cand - n_outer)
+                bound.n_sample += int(n_outer)
+                bound.n_reject += int(n_outer - n_self)
+            self.shell_n_sample[index] += int(n_self)
+            self.idx[index] = np.append(self.idx[index], ids0[sl])
+            self.log_l[index] = np.append(
+                self.log_l[index], log_l_rows[sl], axis=0)
+            if len(blob_cols_all) > 0:
+                blobs = self._pack_blobs([c[sl] for c in blob_cols_all])
+                if self.blobs is None:
+                    self.blobs = [blobs]
+                else:
+                    self.blobs[index] = np.append(
+                        self.blobs[index], blobs, axis=0)
+            self.n_like += int(n_kept)
+            self.n_update_iter += int(n_above)
+            self.n_like_iter += self.n_batch
+            self.update_shell_info(index)
+            if self.filepath is not None:
+                self.write_shell_update(self.filepath, index)
+
+        if meta[n_used - 1, 3] < self.n_batch:
             raise RuntimeError(
                 'Shell sampling did not deliver {} points within {} '
                 'candidate chunks; the shell may be empty.'.format(
@@ -1024,7 +1186,11 @@ class Sampler:
         # after every exploration-phase call; reuse iff the bound list is
         # unchanged. The checkpoint records the consumed key counter so a
         # resumed run reconstructs the identical in-flight batch.
-        if shell == -1 and not self.explored:
+        if shell == -1 and not self.explored and (
+                self.vectorized != 'jax' or
+                bool(np.any(self.shell_t >= 0))):
+            # Skip issuing when the next exploration call will take the
+            # multi-batch phase path (it never consumes this).
             counter = self.keys.state['counter']
             need_next = self._need_member(index)
             self._prefetch = dict(

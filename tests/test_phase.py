@@ -39,6 +39,31 @@ def test_sampling_phase_device_progresses():
         assert len(sampler.points[i]) == len(sampler.log_l[i])
 
 
+def test_exploration_phase_device_batches_and_stops():
+    # The device-side exploration driver must add whole batches to the
+    # newest shell and respect the bound trigger: after one dispatch the
+    # host-side counters justify building a bound (reference loop:
+    # nautilus/sampler.py:436-480).
+    sampler = make_sampler()
+    sampler.add_bound()
+    sampler.n_update_iter = -sampler.n_live
+    n_like_0 = sampler.n_like
+
+    sampler._exploration_phase_device(0.01)
+
+    added = sampler.n_like - n_like_0
+    assert added > 0 and added % sampler.n_batch == 0
+    assert sampler.n_like_iter == added
+    assert len(sampler.idx[0]) == len(sampler.log_l[0]) == added
+    # Device pacing may only stop at (or just past) a host stopping rule,
+    # never mid-way with all rules cold: either the bound trigger fired or
+    # the dispatch cap was hit.
+    full_dispatch = added == sampler.PHASE_MAX_BATCHES * sampler.n_batch
+    trigger = (sampler.n_update_iter >= sampler.n_update and
+               np.sum(sampler.shell_n) > sampler.n_live)
+    assert full_dispatch or trigger or sampler.f_live <= 0.01
+
+
 def test_timing_and_rate_metrics():
     sampler = make_sampler()
     assert sampler.evals_per_second == 0.0
