@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ..ops import geometry as G
 from ..ops.linalg import inv_psd, slogdet_masked, _fix_dropped_dims
 from ..utils.bucket import bucket_size, pad_batch, pad_points
+from ..utils.fetch import fetch
 from ..utils.keys import KeyStream
 
 
@@ -60,7 +61,7 @@ def fit_ellipsoid_host(points, point_mask, dim_mask, enlarge_per_dim,
     device round trips. One fetch per fit.
     """
     dim_mask = np.asarray(dim_mask, bool)
-    vec = np.asarray(_fit_ellipsoid_packed(
+    vec = fetch(_fit_ellipsoid_packed(
         points, point_mask, jnp.asarray(dim_mask), float(enlarge_per_dim)),
         np.float32)
     return unpack_ell(vec, points.shape[1], dim_mask, dim_cube)
@@ -169,7 +170,7 @@ class UnitCube:
         n_pad = bucket_size(n_points)
         points = jax.random.uniform(
             self.keys.next(), (n_pad, self.n_dim))
-        return np.asarray(points)[:n_points].astype(np.float64)
+        return fetch(points)[:n_points].astype(np.float64)
 
     @property
     def log_v(self):
@@ -226,19 +227,19 @@ class Ellipsoid:
     def transform(self, points, inverse=False):
         pts, n = pad_batch(points)
         if not inverse:
-            return np.asarray(_ell_transform_jit(self.params, pts))[:n]
-        return np.asarray(_ell_transform_inv_jit(self.params, pts))[:n]
+            return fetch(_ell_transform_jit(self.params, pts))[:n]
+        return fetch(_ell_transform_inv_jit(self.params, pts))[:n]
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
-        result = np.asarray(_ell_contains_jit(self.params, pts))[:n]
+        result = fetch(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
         n_pad = bucket_size(n_points)
         points = _ell_sample_jit(self.params, self.keys.next(), n_pad)
-        return np.asarray(points)[:n_points].astype(np.float64)
+        return fetch(points)[:n_points].astype(np.float64)
 
     @property
     def log_v(self):
@@ -289,47 +290,12 @@ class UnitCubeEllipsoidMixture:
     @classmethod
     def compute(cls, points, enlarge_per_dim=1.1, keys=None):
         points = np.asarray(points)
-        bound = cls()
-        n_dim = bound.n_dim = points.shape[1]
-        bound.keys = keys if keys is not None else KeyStream()
-        enlarge_per_dim = float(enlarge_per_dim)
-
         pts, mask = pad_points(points, floor=2048)
-
-        def fit(dim_cube):
-            return fit_ellipsoid_host(pts, mask, ~dim_cube, enlarge_per_dim)
-
-        # Greedy: start with all dims in the ellipsoid; move dims to the cube
-        # while the volume decreases (reference: basic.py:496-528). The whole
-        # descent runs on device in one call.
-        vec = np.asarray(_ucem_greedy_jit(pts, mask, enlarge_per_dim),
-                         np.float32)
-        dim_cube = vec[-n_dim:] > 0.5
-        params = unpack_ell(vec[:-n_dim], n_dim, ~dim_cube, dim_cube)
-        log_v = float(params.log_v)
-
-        # Fallback: if the ellipsoid is larger than the cube, grow the
-        # ellipsoid dimension set from empty (reference: basic.py:535-551).
-        if log_v > 0:
-            dim_cube = np.ones(n_dim, dtype=bool)
-            params = None
-            log_v = 0.0
-            tested = np.zeros(n_dim, dtype=bool)
-            while not np.all(tested):
-                for dim in np.flatnonzero(~tested):
-                    dim_cube[dim] = False
-                    tested[dim] = True
-                    params_test = fit(dim_cube)
-                    log_v_test = float(params_test.log_v)
-                    if log_v_test < log_v:
-                        params, log_v = params_test, log_v_test
-                        tested[dim_cube] = False
-                    else:
-                        dim_cube[dim] = True
-            if params is None:
-                params = cls._pure_cube_params(n_dim)
-
-        bound.params = params._replace(dim_cube=np.asarray(dim_cube, bool))
+        bound = cls()
+        bound.n_dim = points.shape[1]
+        bound.keys = keys if keys is not None else KeyStream()
+        bound.params = cls._greedy_fit(pts, mask, bound.n_dim,
+                                       float(enlarge_per_dim))
         return bound
 
     @classmethod
@@ -338,16 +304,21 @@ class UnitCubeEllipsoidMixture:
         """Device-block twin of :meth:`compute`: fit over a masked device
         point block already resident on device (no host coordinates)."""
         bound = cls()
-        n_dim = bound.n_dim = int(pts_dev.shape[1])
+        bound.n_dim = int(pts_dev.shape[1])
         bound.keys = keys if keys is not None else KeyStream()
-        enlarge_per_dim = float(enlarge_per_dim)
+        bound.params = cls._greedy_fit(pts_dev, mask_dev, bound.n_dim,
+                                       float(enlarge_per_dim))
+        return bound
 
-        def fit(dim_cube):
-            return fit_ellipsoid_host(
-                pts_dev, mask_dev, ~dim_cube, enlarge_per_dim)
-
-        vec = np.asarray(_ucem_greedy_jit(pts_dev, mask_dev,
-                                          enlarge_per_dim), np.float32)
+    @classmethod
+    def _greedy_fit(cls, pts, mask, n_dim, enlarge_per_dim):
+        """Shared greedy dimension selection over a (device or padded-host)
+        point block: the shrink descent runs on device in one call
+        (reference control flow: nautilus/bounds/basic.py:496-528); if even
+        the best ellipsoid exceeds the cube, grow the ellipsoid dimension
+        set from empty instead (reference: basic.py:535-551)."""
+        vec = fetch(_ucem_greedy_jit(pts, mask, enlarge_per_dim),
+                    np.float32)
         dim_cube = vec[-n_dim:] > 0.5
         params = unpack_ell(vec[:-n_dim], n_dim, ~dim_cube, dim_cube)
         log_v = float(params.log_v)
@@ -361,7 +332,8 @@ class UnitCubeEllipsoidMixture:
                 for dim in np.flatnonzero(~tested):
                     dim_cube[dim] = False
                     tested[dim] = True
-                    params_test = fit(dim_cube)
+                    params_test = fit_ellipsoid_host(
+                        pts, mask, ~dim_cube, enlarge_per_dim)
                     log_v_test = float(params_test.log_v)
                     if log_v_test < log_v:
                         params, log_v = params_test, log_v_test
@@ -371,8 +343,7 @@ class UnitCubeEllipsoidMixture:
             if params is None:
                 params = cls._pure_cube_params(n_dim)
 
-        bound.params = params._replace(dim_cube=np.asarray(dim_cube, bool))
-        return bound
+        return params._replace(dim_cube=np.asarray(dim_cube, bool))
 
     @staticmethod
     def _pure_cube_params(n_dim):
@@ -389,18 +360,18 @@ class UnitCubeEllipsoidMixture:
 
     def transform(self, points):
         pts, n = pad_batch(points)
-        return np.asarray(_ell_transform_jit(self.params, pts))[:n]
+        return fetch(_ell_transform_jit(self.params, pts))[:n]
 
     def contains(self, points):
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
-        result = np.asarray(_ell_contains_jit(self.params, pts))[:n]
+        result = fetch(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
         n_pad = bucket_size(n_points)
         points = _ell_sample_jit(self.params, self.keys.next(), n_pad)
-        return np.asarray(points)[:n_points].astype(np.float64)
+        return fetch(points)[:n_points].astype(np.float64)
 
     @property
     def log_v(self):

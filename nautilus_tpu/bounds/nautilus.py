@@ -18,6 +18,7 @@ from ..ops import geometry as G
 from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
     neural_contains_any
 from ..utils.bucket import bucket_size, pad_batch
+from ..utils.fetch import fetch
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
@@ -128,7 +129,7 @@ class NautilusBound:
         return bound
 
     @classmethod
-    def compute_device(cls, pts_dev, log_l_dev, valid_dev, n_points,
+    def compute_device(cls, pts_dev, log_l_dev, valid_dev,
                        log_l_min, log_v_target, enlarge_per_dim=1.1,
                        n_points_min=None, split_threshold=100, periodic=None,
                        n_networks=4, neural_network_kwargs=None, keys=None,
@@ -157,7 +158,7 @@ class NautilusBound:
 
         above = _above_mask_jit(log_l_dev, valid_dev,
                                 jnp.asarray(log_l_min, jnp.float32))
-        n_above = int(np.asarray(jnp.sum(above)))
+        n_above = int(fetch(jnp.sum(above)))
 
         multi_ellipsoid = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
@@ -350,10 +351,10 @@ class NautilusBound:
             points = self.shift.transform(points)
         pts, n = pad_batch(points)
         stacked, member_mask = self.outer_bound._stacked()
-        in_bound = np.array(
+        in_bound = fetch(
             _union_contains_jit(stacked, member_mask, pts, True))[:n]
         if len(self.neural_bounds) > 0:
-            in_bound &= np.asarray(
+            in_bound = in_bound & fetch(
                 _neural_contains_jit(self._stack(), pts))[:n]
         return in_bound[0] if single else in_bound
 
@@ -366,7 +367,7 @@ class NautilusBound:
         """
         while len(self.points) < n_points:
             stacked, member_mask = self.outer_bound._stacked()
-            packed = np.asarray(_nautilus_sample_jit(
+            packed = fetch(_nautilus_sample_jit(
                 stacked, member_mask, self._stack(), self.keys.next(),
                 self.SAMPLE_BATCH), np.float64)
             outer_accept = packed[:, -2] > 0.5

@@ -15,6 +15,7 @@ from scipy.stats import rankdata
 
 from ..neural import NeuralNetworkEmulator
 from ..ops import geometry as G
+from ..utils.fetch import fetch
 from ..utils.bucket import pad_points
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, unpack_ell
@@ -174,7 +175,7 @@ class NeuralBound:
         n_pad = pts_pad.shape[0]
         mask_fit = np.zeros(n_pad, bool)
         mask_fit[:len(points)] = log_l >= log_l_min
-        vec = np.asarray(_fit_contains_transform_jit(
+        vec = fetch(_fit_contains_transform_jit(
             pts_pad, jnp.asarray(mask_fit), mask_all,
             float(enlarge_per_dim)), np.float64)
 
@@ -298,7 +299,7 @@ class NeuralBound:
             sizes=sizes, n_networks=n_networks, batch_size=batch_size,
             max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
             lr=lr, enlarge_per_dim=float(enlarge_per_dim))
-        small = np.asarray(small, np.float64)
+        small = fetch(small, np.float64)
 
         from ..neural import NeuralNetworkEmulator
         n_packed = d + 2 * d * d + 1
@@ -392,7 +393,7 @@ class NeuralBound:
             sizes=sizes, n_networks=n_networks, batch_size=batch_size,
             max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
             lr=lr, enlarge_per_dim=float(enlarge_per_dim))
-        small = np.asarray(small, np.float64)
+        small = fetch(small, np.float64)
 
         n_packed = d + 2 * d * d + 1
         bounds = []

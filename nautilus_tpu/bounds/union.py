@@ -19,6 +19,7 @@ from scipy.special import logsumexp
 from ..ops import geometry as G
 from ..ops.gmm import fit_gmm2
 from ..utils.bucket import bucket_size, pad_batch, pad_points
+from ..utils.fetch import fetch
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture, fit_ellipsoid_host, \
     unpack_ell, _ell_transform_jit
@@ -354,7 +355,7 @@ class Union:
                     self.keys.next(), int(self.n_points_min),
                     self.enlarge_per_dim)
                 n_packed = d + 2 * d * d + 1
-                vec = np.asarray(small, np.float64)
+                vec = fetch(small, np.float64)
                 new_params = [
                     unpack_ell(vec[i * n_packed:(i + 1) * n_packed], d)
                     for i in range(2)]
@@ -364,7 +365,7 @@ class Union:
                     self.keys.next(), int(self.n_points_min),
                     self.enlarge_per_dim)
                 n_packed = d + 2 * d * d + 1 + d
-                vec = np.asarray(small, np.float64)
+                vec = fetch(small, np.float64)
                 new_params = []
                 for i, child_mask in enumerate([m0, m1]):
                     child = vec[i * n_packed:(i + 1) * n_packed]
@@ -389,7 +390,7 @@ class Union:
             if self.bound_class is Ellipsoid:
                 # Fully fused: GMM + reassignment + both child fits, one
                 # round trip.
-                vec = np.asarray(_split_ellipsoid_jit(
+                vec = fetch(_split_ellipsoid_jit(
                     self.params_list[index], pts_pad, mask, self.keys.next(),
                     int(self.n_points_min), self.enlarge_per_dim),
                     np.float64)
@@ -399,7 +400,7 @@ class Union:
                     for i in range(2)]
                 labels = vec[2 * n_packed:][:len(points)].astype(int)
             else:
-                vec = np.asarray(_split_mixture_jit(
+                vec = fetch(_split_mixture_jit(
                     self.params_list[index], pts_pad, mask, self.keys.next(),
                     int(self.n_points_min), self.enlarge_per_dim),
                     np.float64)
@@ -489,7 +490,7 @@ class Union:
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
         stacked, member_mask = self._stacked()
-        result = np.asarray(_union_contains_jit(
+        result = fetch(_union_contains_jit(
             stacked, member_mask, pts, self.unit))[:n]
         return result[0] if single else result
 
@@ -502,7 +503,7 @@ class Union:
         """
         while len(self.points) < n_points:
             stacked, member_mask = self._stacked()
-            packed = np.asarray(_union_sample_jit(
+            packed = fetch(_union_sample_jit(
                 stacked, member_mask, self.keys.next(), self.SAMPLE_BATCH,
                 self.unit), np.float64)
             accept = packed[:, -1] > 0.5
@@ -521,7 +522,7 @@ class Union:
             # Counter-only MC seeding: an 8-byte fetch instead of a point
             # batch (the points would be redrawn anyway).
             stacked, member_mask = self._stacked()
-            counters = np.asarray(_union_mc_jit(
+            counters = fetch(_union_mc_jit(
                 stacked, member_mask, self.keys.next(), 100,
                 self.SAMPLE_BATCH, 256, self.unit), int)
             self.n_sample += int(counters[0])

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from .ops.mlp import MLPParams, train_mlp_ensemble_packed, \
     train_predict_packed, unflatten_params, ensemble_predict
+from .utils.fetch import fetch
 from .utils.bucket import bucket_size, pad_batch
 
 
@@ -52,7 +53,7 @@ class NeuralNetworkEmulator:
         """
         if self._params is None and self._flat_device is not None:
             self._params = unflatten_params(
-                np.asarray(self._flat_device), self._sizes)
+                fetch(self._flat_device), self._sizes)
         return self._params
 
     @params.setter
@@ -117,7 +118,7 @@ class NeuralNetworkEmulator:
         yj = jnp.asarray(y_pad, jnp.float32)
         mj = jnp.asarray(mask)
         if return_predictions:
-            vec = np.asarray(train_predict_packed(
+            vec = fetch(train_predict_packed(
                 xj, yj, mj, key, sizes, **common))
             flat = vec[:-n_pad].reshape(n_networks, -1)
             pred = np.asarray(vec[-n_pad:][:n], np.float64)
@@ -125,14 +126,14 @@ class NeuralNetworkEmulator:
             return emulator, pred
         flat, _ = train_mlp_ensemble_packed(xj, yj, mj, key, sizes, **common)
         # Single fetch; parameters live on host for stack building.
-        emulator.params = unflatten_params(flat, sizes)
+        emulator.params = unflatten_params(fetch(flat), sizes)
         return emulator
 
     def predict(self, x):
         """Ensemble-mean prediction for raw (unstandardized) inputs."""
         x = np.atleast_2d(np.asarray(x, np.float64))
         x_t, n = pad_batch((x - self.mean) / self.scale)
-        return np.asarray(
+        return fetch(
             _ensemble_predict_jit(self.params, x_t), np.float64)[:n]
 
     def write(self, group):

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.bucket import bucket_size
+from ..utils.fetch import fetch
 
 ARENA_FLOOR = 4096
 
@@ -176,6 +177,13 @@ class PointArena:
         assert self.device
         self.d_alive = alive
 
+    def set_shell(self, ids, shell):
+        """Assign rows to a shell slot (device-to-device, nothing fetched)."""
+        if self.device and len(ids) > 0:
+            self.d_shell = _set_shell_jit(
+                self.d_shell, _pad_ids(ids, self.capacity),
+                jnp.asarray(shell, jnp.int32))
+
     # -------------------------------------------------------------- #
     # reads
 
@@ -191,7 +199,7 @@ class PointArena:
         size = bucket_size(upto - cached, floor=64)
         size = min(size, self.capacity)
         start = min(cached, self.capacity - size)
-        block = np.asarray(_fetch_rows_jit(
+        block = fetch(_fetch_rows_jit(
             self.d_pts, jnp.asarray(start, jnp.int32), size), np.float64)
         self._cache = np.concatenate(
             [self._cache, block[cached - start:upto - start]])

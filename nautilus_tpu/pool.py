@@ -8,43 +8,66 @@ map-style pools (reference: nautilus/pool.py).
 
 from multiprocessing import Pool
 
+# Likelihood cached once per worker process so pool.map only ships the
+# argument batches, never the (possibly heavyweight) likelihood closure.
+_WORKER_LIKELIHOOD = None
+
 
 def initialize_worker(likelihood):
-    """Cache the likelihood in a forked worker process."""
-    global LIKELIHOOD
-    LIKELIHOOD = likelihood
+    """Pool initializer: stash the likelihood in the worker process."""
+    global _WORKER_LIKELIHOOD
+    _WORKER_LIKELIHOOD = likelihood
 
 
 def likelihood_worker(*args):
-    """Evaluate the cached likelihood in a worker process."""
-    return LIKELIHOOD(*args)
+    """Evaluate the likelihood cached by :func:`initialize_worker`."""
+    return _WORKER_LIKELIHOOD(*args)
+
+
+def _is_dask_client(pool):
+    """Duck-type check for a dask distributed Client (no dask import)."""
+    mod = type(pool).__module__ or ''
+    return mod.startswith('distributed') and hasattr(pool, 'gather')
 
 
 class SamplerPool:
     """Uniform wrapper over map-style pools.
 
-    Accepts an integer (spawns a ``multiprocessing.Pool``), a
-    ``multiprocessing.Pool``, a ``concurrent.futures`` executor, a dask
-    client, or an MPI pool executor.
+    Accepts an integer (spawns a ``multiprocessing.Pool`` whose workers
+    cache the likelihood), an existing ``multiprocessing.Pool``, a
+    ``concurrent.futures`` executor, a dask distributed client, or an MPI
+    pool executor.
     """
 
     def __init__(self, pool, likelihood=None):
         if isinstance(pool, int):
-            self.pool = Pool(pool, initializer=initialize_worker,
-                             initargs=(likelihood,))
-        else:
-            self.pool = pool
+            pool = Pool(pool, initializer=initialize_worker,
+                        initargs=(likelihood,))
+        self.pool = pool
 
     def map(self, func, iterable):
-        if 'distributed.client.Client' in str(type(self.pool)):
-            return list(self.pool.gather(self.pool.map(func, iterable)))
-        return list(self.pool.map(func, iterable))
+        """Apply ``func`` over ``iterable``, returning a list.
+
+        dask clients return futures from ``map``; gather them so every
+        backend presents identical call-and-collect semantics.
+        """
+        results = self.pool.map(func, iterable)
+        if _is_dask_client(self.pool):
+            results = self.pool.gather(results)
+        return list(results)
 
     @property
     def size(self):
-        if 'distributed.client.Client' in str(type(self.pool)):
+        """Worker count, probed across the supported pool flavors."""
+        if _is_dask_client(self.pool):
             return len(self.pool.nthreads())
-        for attr in ['_processes', '_max_workers', 'size', 'nt']:
+        for attr in ('_processes',     # multiprocessing.Pool
+                     '_max_workers',   # concurrent.futures executors
+                     'size',           # mpi4py MPIPoolExecutor (and alike)
+                     'nt'):
             if hasattr(self.pool, attr):
                 return getattr(self.pool, attr)
-        raise ValueError('Cannot determine size of pool.')
+        raise ValueError(
+            'Could not infer the worker count of {!r}; pass a pool type '
+            'with a _processes, _max_workers, or size attribute.'.format(
+                type(self.pool).__name__))

@@ -26,30 +26,41 @@ class Prior:
         self.dists = []
 
     def add_parameter(self, key=None, dist=(0, 1)):
-        """Add a model parameter (reference: nautilus/prior.py:25-71)."""
-        if key is None:
-            self.keys.append('x_{}'.format(len(self.keys)))
-        elif not isinstance(key, str):
-            raise TypeError("Keyword argument 'key' must be a string.")
-        elif key in self.keys:
-            raise ValueError("Key '{}' already in key list.".format(key))
-        else:
-            self.keys.append(key)
+        """Add a model parameter (behavioral parity with reference:
+        nautilus/prior.py:25-71).
+
+        ``dist`` may be a ``(low, high)`` tuple (uniform), a plain number
+        (fixed value), the name of a previously added parameter (alias), or
+        any object exposing ``isf`` (e.g. a scipy frozen distribution).
+        """
+        key = 'x_{}'.format(len(self.keys)) if key is None else key
+        if not isinstance(key, str):
+            raise TypeError(
+                'Parameter names must be strings, got {!r}.'.format(key))
+        if key in self.keys:
+            raise ValueError(
+                'A parameter named {!r} was already added.'.format(key))
 
         if isinstance(dist, tuple):
-            self.dists.append(uniform(loc=dist[0], scale=dist[1] - dist[0]))
-        elif isinstance(dist, numbers.Number) or hasattr(dist, 'isf'):
-            self.dists.append(dist)
+            low, high = dist
+            dist = uniform(loc=low, scale=high - low)
         elif isinstance(dist, str):
-            if dist not in self.keys or dist == str(key):
+            if dist == key or dist not in self.keys:
                 raise ValueError(
-                    'Key {} not defined previously.'.format(dist))
+                    'Alias target {!r} is not a previously added '
+                    'parameter.'.format(dist))
+            # Collapse alias chains so every alias points at a concrete
+            # parameter.
             while isinstance(self.dists[self.keys.index(dist)], str):
                 dist = self.dists[self.keys.index(dist)]
-            self.dists.append(dist)
-        else:
-            raise TypeError("Keyword argument 'dist' does not have the " +
-                            "correct type")
+        elif not (isinstance(dist, numbers.Number) or hasattr(dist, 'isf')):
+            raise TypeError(
+                "Unsupported 'dist' value {!r}: expected a (low, high) "
+                'tuple, a number, a parameter name, or an object with an '
+                "'isf' method.".format(dist))
+
+        self.keys.append(key)
+        self.dists.append(dist)
 
     def dimensionality(self):
         """Number of free model parameters."""
@@ -78,6 +89,14 @@ class Prior:
             d.kwds.get('scale', d.args[1] if len(d.args) > 1 else 1.0)
             for d in self.free_dists])
         return lo, lo + scale
+
+    def jax_transform(self):
+        """Jittable unit-cube -> physical transform over the free
+        parameters: device inverse-CDF kernels for recognized scipy
+        families, one grouped host callback for the rest (see
+        :mod:`nautilus_tpu.ops.dists`)."""
+        from .ops.dists import make_prior_transform
+        return make_prior_transform(self.free_dists)
 
     def unit_to_physical(self, points):
         """Map unit-cube points to physical space via each dist's inverse

@@ -39,6 +39,7 @@ from .ops.shell_stack import BoundStack, arena_transfer_split, \
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
+from .utils.fetch import fetch, fetch_many
 from .utils.keys import KeyStream
 
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
@@ -402,7 +403,7 @@ class Sampler:
                         all_log_l = np.concatenate(self.log_l)
                         points_above = all_pts[all_log_l >= log_l_min]
                     bound = NautilusBound.compute_device(
-                        blk_pts, blk_log_l, blk_valid, n_alive, log_l_min,
+                        blk_pts, blk_log_l, blk_valid, log_l_min,
                         self.log_v_live,
                         enlarge_per_dim=self.enlarge_per_dim,
                         n_points_min=self.n_points_min,
@@ -452,7 +453,11 @@ class Sampler:
                         floor=16384)
                     contains_future = _slot_contains_jit(
                         stack, len(self.bounds) - 1, pts_pad)
-                counters = np.asarray(mc_future, int)
+                if self.arena.device:
+                    counters, bits_np = fetch_many(mc_future, bits_future)
+                else:
+                    counters = fetch(mc_future)
+                counters = counters.astype(int)
                 n_tot, n_outer, n_self = (int(c) for c in counters[:3])
                 bound.outer_bound.n_sample += n_tot
                 bound.outer_bound.n_reject += n_tot - n_outer
@@ -496,12 +501,12 @@ class Sampler:
             n_shells = len(self.bounds) - 1
             if self.arena.device:
                 self.arena.set_alive(alive_new)
-                bits = np.unpackbits(np.asarray(bits_future)).astype(bool)
+                bits = np.unpackbits(bits_np).astype(bool)
 
                 def shell_in_bound(shell):
                     return bits[self.idx[shell]]
             else:
-                in_bound_all = np.asarray(contains_future)[:n_all]
+                in_bound_all = fetch(contains_future)[:n_all]
                 offsets = np.cumsum([0] + [len(self.idx[shell])
                                            for shell in range(n_shells)])
 
@@ -530,61 +535,6 @@ class Sampler:
         self.timing['bound'] += time() - t_start
         return True
 
-    def sample_shell(self, index, shell_t=None):
-        """Sample a batch of points uniformly from a shell.
-
-        Shell i is the volume inside bound i but outside all later bounds
-        (reference: nautilus/sampler.py:751-830).
-        """
-        if shell_t is not None and index not in [-1, len(self.bounds) - 1]:
-            raise ValueError("'shell_t' must be empty if not sampling " +
-                             "from the last bound/shell.")
-
-        n_bound = 0
-        n_sample = 0
-        idx_t = np.zeros(0, dtype=int)
-        points_all = []
-
-        while n_sample < self.n_batch:
-            points = self.bounds[index].sample(self.n_batch - n_sample)
-            n_bound += self.n_batch - n_sample
-
-            # Reject points that belong to a later shell.
-            in_shell = np.ones(len(points), dtype=bool)
-            for bound in self.bounds[index:][1:]:
-                in_shell &= ~np.asarray(bound.contains(points))
-                if not np.any(in_shell):
-                    break
-            points = points[in_shell]
-
-            # Substitute transfer points where possible.
-            replace = np.zeros(len(points), dtype=bool)
-            if shell_t is not None and len(shell_t) > 0:
-                shell_p = self.shell_association(
-                    points, n_max=len(self.bounds) - 1)
-                for shell in range(len(self.bounds) - 1):
-                    idx_1 = np.flatnonzero(shell_t == shell)
-                    idx_2 = np.flatnonzero(shell_p == shell)
-                    n = min(len(idx_1), len(idx_2))
-                    if n > 0:
-                        idx_t = np.append(idx_t, self.rng.choice(
-                            idx_1, size=n, replace=False))
-                        shell_t[idx_t] = -1
-                        replace[self.rng.choice(
-                            idx_2, size=n, replace=False)] = True
-
-            points = points[~replace]
-
-            if len(points) > 0:
-                points_all.append(points)
-                n_sample += len(points)
-
-        points = np.concatenate(points_all)
-
-        if shell_t is None:
-            return points, n_bound
-        return points, n_bound, idx_t
-
     # ------------------------------------------------------------------ #
     # likelihood evaluation
 
@@ -592,17 +542,23 @@ class Sampler:
         """Jittable unit-cube -> physical transform for the device path."""
         if callable(self.prior):
             return self.prior
-        elif isinstance(self.prior, Prior) and self.prior.is_uniform():
-            lo, hi = self.prior.uniform_bounds()
-            lo = jnp.asarray(lo)
-            hi = jnp.asarray(hi)
+        elif isinstance(self.prior, Prior):
+            if self.prior.is_uniform():
+                # All-uniform: one fused affine map.
+                lo, hi = self.prior.uniform_bounds()
+                lo = jnp.asarray(lo)
+                hi = jnp.asarray(hi)
 
-            def transform(u):
-                return lo + (hi - lo) * u
-            return transform
+                def transform(u):
+                    return lo + (hi - lo) * u
+                return transform
+            # General priors: per-family device inverse-CDF kernels with a
+            # host-callback escape hatch for exotic dists (reference host
+            # map: nautilus/prior.py:117).
+            return self.prior.jax_transform()
         raise ValueError(
-            "vectorized='jax' requires a callable prior or an "
-            "all-uniform Prior instance.")
+            "vectorized='jax' requires a callable prior or a "
+            "Prior instance.")
 
     def _jax_eval(self, n):
         """Compiled prior-transform + likelihood for a padded batch size."""
@@ -856,15 +812,16 @@ class Sampler:
         # coordinates go straight from the phase buffer into the device
         # arena, so point payloads never cross the link.
         buf_dev, blob_devs, meta, n_used = out
-        meta = np.asarray(meta)
+        meta, n_used = fetch_many(meta, n_used)
         n_used = int(n_used)
         if n_used > 0:
             n_rows = n_used * self.n_batch
-            log_l_rows = np.asarray(
-                _phase_log_l_rows(buf_dev, n_rows), np.float64)
+            fetched = fetch_many(
+                _phase_log_l_rows(buf_dev, n_rows),
+                *[_slice_rows_jit(b, n_rows) for b in blob_devs])
+            log_l_rows = fetched[0].astype(np.float64)
+            blob_bufs = fetched[1:]
             ids0 = self.arena.append_buf(buf_dev, n_rows)
-            blob_bufs = tuple(
-                np.asarray(_slice_rows_jit(b, n_rows)) for b in blob_devs)
         if n_used == 0:
             # Device stats judged the phase done but host stats disagreed
             # (f32 vs f64 rounding near the threshold): fall back to one
@@ -895,6 +852,7 @@ class Sampler:
                 bound.n_sample += int(n_outer)
                 bound.n_reject += int(n_outer - n_self)
             self.shell_n_sample[shell] += int(n_self)
+            self.arena.set_shell(ids0[sl], shell)
             self.idx[shell] = np.append(self.idx[shell], ids0[sl])
             self.log_l[shell] = np.append(
                 self.log_l[shell], log_l_rows[sl], axis=0)
@@ -996,7 +954,8 @@ class Sampler:
             np.float32(f_live_target), self._batch_budget(n_like_max))
         pts_a, log_l_a, alive_a, shell_a, log_l_buf, blob_bufs, meta, \
             n_used = out
-        meta = np.asarray(meta, int)
+        meta, n_used = fetch_many(meta, n_used)
+        meta = meta.astype(int)
         n_used = int(n_used)
 
         if n_used == 0:
@@ -1012,10 +971,11 @@ class Sampler:
             return
 
         n_rows = n_used * self.n_batch
-        log_l_rows = np.asarray(
-            _slice_rows_jit(log_l_buf, n_rows), np.float64)
-        blob_cols_all = tuple(
-            np.asarray(_slice_rows_jit(b, n_rows)) for b in blob_bufs)
+        fetched = fetch_many(
+            _slice_rows_jit(log_l_buf, n_rows),
+            *[_slice_rows_jit(b, n_rows) for b in blob_bufs])
+        log_l_rows = fetched[0].astype(np.float64)
+        blob_cols_all = fetched[1:]
         ids0 = self.arena.adopt(pts_a, log_l_a, alive_a, shell_a, n_rows)
         self.timing['sample'] += time() - t_start
 
@@ -1099,16 +1059,16 @@ class Sampler:
         if self.arena.device:
             # Coordinates stay on device: append the batch to the arena
             # and fetch only (counters | log_l | innermost-earlier-bound).
-            meta = np.asarray(_pack_collect_meta(out[0]), np.float64)
+            fetched = fetch_many(_pack_collect_meta(out[0]), *out[1])
+            meta = fetched[0].astype(np.float64)
             n_cand, n_outer, n_self, n_iter = meta[:4].astype(int)
             log_l = meta[4:4 + self.n_batch]
             shell_p = meta[4 + self.n_batch:].astype(int)
-            ids = self.arena.append_buf(out[0], self.n_batch)
+            ids = self.arena.append_buf(out[0], self.n_batch, shell=index)
             points = None
-            blob_cols = [np.asarray(b) for b in out[1]] if fused_like \
-                else None
+            blob_cols = list(fetched[1:]) if fused_like else None
         else:
-            fetched = jax.device_get(out)
+            fetched = fetch_many(out[0], *out[1])
             packed = np.asarray(fetched[0], np.float64)
             n_cand, n_outer, n_self, n_iter = packed[
                 self.n_batch, :4].astype(int)
@@ -1162,7 +1122,7 @@ class Sampler:
                 if blob_cols is not None:
                     blob_cols = [c[~replace] for c in blob_cols]
             if len(pos_t) > 0 and self.arena.device:
-                self.arena.revive(self.idx_t[pos_t])
+                self.arena.revive(self.idx_t[pos_t], shell=index)
 
         self.timing['sample'] += time() - t_start
         if fused_like:
@@ -1228,11 +1188,11 @@ class Sampler:
             pts[:n] = points
             result = self._jax_eval(n_pad)(jnp.asarray(pts, jnp.float32))
             if isinstance(result, tuple):
-                log_l = np.asarray(
-                    result[0], np.float64)[:n]
-                blobs = [np.asarray(b)[:n] for b in result[1:]]
+                fetched = fetch_many(*result)
+                log_l = fetched[0].astype(np.float64)[:n]
+                blobs = [b[:n] for b in fetched[1:]]
             else:
-                log_l = np.asarray(result, np.float64)[:n]
+                log_l = fetch(result, np.float64)[:n]
                 blobs = None
             blobs_list = None if blobs is None else list(zip(*blobs))
         else:
@@ -1501,7 +1461,7 @@ class Sampler:
         one dispatch for every (bound, point) pair, numerically identical
         to the membership the sampling kernels used."""
         pts_pad, n = pad_batch(np.asarray(points, np.float64))
-        member = np.asarray(_contains_matrix_jit(
+        member = fetch(_contains_matrix_jit(
             self._ensure_stack(), pts_pad))
         return member[:len(self.bounds), :n]
 
@@ -1529,30 +1489,39 @@ class Sampler:
             m = m / np.diag(m)[:, np.newaxis]
         return m
 
+    # Status-line columns: (title, width, value formatter). The column set
+    # and order match the reference's live display (reference:
+    # sampler.py:945-980) so downstream tooling that parses it keeps
+    # working.
+    _STATUS_COLUMNS = (
+        ('Status', 9, str),
+        ('Bounds', 6, '{:d}'.format),
+        ('Ellipses', 8, '{:d}'.format),
+        ('Networks', 8, '{:d}'.format),
+        ('Calls', 8, '{:d}'.format),
+        ('f_live', 6, '{:.4f}'.format),
+        ('N_eff', 5, '{:.0f}'.format),
+        ('log Z', 7, '{:+.2f}'.format),
+    )
+
     def print_status(self, status='', header=False, end='\n'):
-        """One-line live status (reference: sampler.py:945-980)."""
+        """Print the one-line live progress display."""
         if header:
-            data = ['Status', 'Bounds', 'Ellipses', 'Networks', 'Calls',
-                    'f_live', 'N_eff', 'log Z']
+            cells = [title for title, _, _ in self._STATUS_COLUMNS]
         else:
-            data = [status, len(self.bounds)]
-            if len(self.bounds) > 1:
-                data.extend([self.bounds[-1].n_ell, self.bounds[-1].n_net])
-            else:
-                data.extend([0, 0])
-            data.extend([self.n_like, self.f_live, self.n_eff, self.log_z])
-            fmt = ['{}', '{:d}', '{:d}', '{:d}', '{:d}', '{:.4f}', '{:.0f}',
-                   '{:+.2f}']
-            for i in range(len(data)):
-                data[i] = ('N/A' if data[i] is None
-                           else fmt[i].format(data[i]))
+            latest = self.bounds[-1] if len(self.bounds) > 1 else None
+            values = [status, len(self.bounds),
+                      latest.n_ell if latest else 0,
+                      latest.n_net if latest else 0,
+                      self.n_like, self.f_live, self.n_eff, self.log_z]
+            cells = ['N/A' if v is None else col[2](v)
+                     for v, col in zip(values, self._STATUS_COLUMNS)]
 
-        for i, length in enumerate([9, 6, 8, 8, 8, 6, 5, 7]):
-            data[i] = '{:<{}}'.format(data[i], length)
-
-        output = ' | '.join(data)
+        line = ' | '.join(
+            '{:<{}}'.format(cell, col[1])
+            for cell, col in zip(cells, self._STATUS_COLUMNS))
         width = get_terminal_size((80, 24)).columns
-        print(output.ljust(width)[:width], end=end, flush=True)
+        print(line.ljust(width)[:width], end=end, flush=True)
 
     # ------------------------------------------------------------------ #
     # persistence
@@ -1704,13 +1673,22 @@ class Sampler:
 
             points_lists = []
             idx_lists = []
+            has_idx = 'idx_0' in group
+            next_id = 0
             for shell in range(len(self.shell_n)):
                 points_lists.append(
                     np.array(group['points_{}'.format(shell)]))
                 self.log_l.append(
                     np.array(group['log_l_{}'.format(shell)]))
-                idx_lists.append(
-                    np.array(group['idx_{}'.format(shell)], dtype=int))
+                if has_idx:
+                    idx_lists.append(
+                        np.array(group['idx_{}'.format(shell)], dtype=int))
+                else:
+                    # Checkpoint predates arena indices: synthesize
+                    # contiguous ids (shells first, then the transfer set).
+                    n_pts = len(points_lists[-1])
+                    idx_lists.append(np.arange(next_id, next_id + n_pts))
+                    next_id += n_pts
                 if 'blobs_{}'.format(shell) in group:
                     if shell == 0:
                         self.blobs = []
@@ -1726,8 +1704,10 @@ class Sampler:
                     setattr(self, key, np.array(group[key]))
             if 'points_t' in group:
                 points_t = np.array(group['points_t'])
-            if 'idx_t' in group:
+            if 'idx_t' in group and has_idx:
                 idx_t_stored = np.array(group['idx_t'], dtype=int)
+            else:
+                idx_t_stored = np.arange(next_id, next_id + len(points_t))
 
             # Rebuild the arena, compacted but order-preserving: relative
             # arena order (the tie-breaker of the device-block sort) is a
@@ -1739,18 +1719,23 @@ class Sampler:
             pts = np.zeros((n_rows, self.n_dim))
             log_l_arr = np.full(n_rows, -np.inf)
             alive = np.zeros(n_rows, bool)
+            shell_arr = np.zeros(n_rows, np.int32)
             for shell in range(len(self.shell_n)):
                 pos = np.searchsorted(uorder, idx_lists[shell])
                 pts[pos] = points_lists[shell]
                 log_l_arr[pos] = self.log_l[shell]
                 alive[pos] = True
+                shell_arr[pos] = shell
                 self.idx.append(pos)
             pos = np.searchsorted(uorder, idx_t_stored)
             pts[pos] = points_t
             if len(pos) > 0:
                 log_l_arr[pos] = self.log_l_t
+                # Consumed candidates carry shell_t == -1; their rows are
+                # dead, so any valid slot id works.
+                shell_arr[pos] = np.maximum(self.shell_t, 0)
             self.idx_t = pos
-            self.arena.load(pts, log_l_arr, alive)
+            self.arena.load(pts, log_l_arr, alive, shell=shell_arr)
 
             self.bounds = [
                 UnitCube.read(fstream['bound_0'], keys=self.keys)]

@@ -54,12 +54,3 @@ class KeyStream:
         self._base = jax.random.key(
             np.uint64(self._seed).astype(np.int64))
         self._counter = int(state['counter'])
-
-    def spawn(self, n):
-        """Spawn ``n`` child streams with independent seeds."""
-        children = []
-        for _ in range(n):
-            child_seed = int(jax.random.randint(
-                self.next(), (), 0, np.iinfo(np.int64).max, dtype=jnp.int64))
-            children.append(KeyStream(child_seed))
-        return children
