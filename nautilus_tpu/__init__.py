@@ -11,5 +11,6 @@ __version__ = '0.1.0'
 
 from .prior import Prior
 from .sampler import Sampler
+from .utils.fetch import warmup
 
-__all__ = ['Prior', 'Sampler']
+__all__ = ['Prior', 'Sampler', 'warmup']

@@ -18,7 +18,7 @@ from ..ops import geometry as G
 from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
     neural_contains_any
 from ..utils.bucket import bucket_size, pad_batch
-from ..utils.fetch import fetch
+from ..utils.fetch import fetch, put_tree
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
@@ -268,7 +268,7 @@ class NautilusBound:
                 has_nets += [False] * (m_pad - len(has_nets))
 
             # Built on host, uploaded once.
-            self._stack_cache = jax.device_put(NeuralStack(
+            self._stack_cache = put_tree(NeuralStack(
                 ell=ell_stacked,
                 mean=mean_arr, scale=scale_arr,
                 weights=w_stacked, biases=b_stacked,

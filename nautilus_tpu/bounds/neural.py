@@ -350,10 +350,9 @@ class NeuralBound:
         m_pad = bucket_size(m, floor=1)
 
         ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
-        sel, n_sel = _mode_sel_jit(pts_dev, valid_dev,
-                                   jax.device_put(ell_stacked),
+        sel, n_sel = _mode_sel_jit(pts_dev, valid_dev, ell_stacked,
                                    jnp.asarray(mode_mask))
-        n_sel = max(int(n_sel), 1)
+        n_sel = max(int(fetch(n_sel)), 1)
         size = bucket_size(n_sel, floor=4096)
         pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
             pts_dev, log_l_dev, above_dev, sel, size)

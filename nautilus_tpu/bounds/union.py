@@ -19,7 +19,7 @@ from scipy.special import logsumexp
 from ..ops import geometry as G
 from ..ops.gmm import fit_gmm2
 from ..utils.bucket import bucket_size, pad_batch, pad_points
-from ..utils.fetch import fetch
+from ..utils.fetch import fetch, put_tree
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture, fit_ellipsoid_host, \
     unpack_ell, _ell_transform_jit
@@ -322,8 +322,7 @@ class Union:
             k_pad = bucket_size(len(self.params_list), floor=4)
             stacked, mask = G.stack_ell_params(self.params_list, k_pad)
             # One upload per refresh; kernels then reuse device buffers.
-            self._stacked_cache = (jax.device_put(stacked),
-                                   jax.device_put(mask))
+            self._stacked_cache = put_tree((stacked, mask))
         return self._stacked_cache
 
     # ------------------------------------------------------------------ #

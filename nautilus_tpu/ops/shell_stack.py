@@ -156,7 +156,8 @@ def mc_volume_counters(stack, index, key, n_min, chunk, max_iters):
 
 
 def collect_shell_points(stack, index, key, n_target, chunk=2048,
-                         eval_fn=None, max_iters=4096, need_member=True):
+                         eval_fn=None, max_iters=4096, need_member=True,
+                         shard_fn=None):
     """Collect exactly ``n_target`` shell points in one device program.
 
     Runs the sampler's rejection loop (reference:
@@ -230,11 +231,14 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
         sub = jax.random.fold_in(key, it)
         if need_member:
             points, outer_acc, self_acc, shell_acc, member = \
-                sample_shell_batch(stack, index, sub, chunk)
+                sample_shell_batch(stack, index, sub, chunk,
+                                   shard_fn=shard_fn)
         else:
             own = _slice_pytree(stack, index)
             points_s, outer_acc = G.union_sample_batch(
                 own.outer, own.outer_mask, sub, chunk, unit=True)
+            if shard_fn is not None:
+                points_s = shard_fn(points_s)
             self_acc = outer_acc & _neural_contains(own.neural, points_s)
             points = jnp.mod(points_s - own.shift, 1.0)
             shell_acc = self_acc
@@ -290,7 +294,8 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
 
 def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
                    bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
-                   max_batches, eval_fn, max_iters=4096, n_budget=None):
+                   max_batches, eval_fn, max_iters=4096, n_budget=None,
+                   shard_fn=None):
     """Drive the whole shell-filling ("sampling") phase on device.
 
     The reference's post-exploration loop (reference:
@@ -406,7 +411,7 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
             ibuf, n_kept, n_cand, n_outer, n_self, it, bb = s
             sub = jax.random.fold_in(jax.random.fold_in(key, b), it)
             points, outer_acc, self_acc, shell_acc, _ = sample_shell_batch(
-                stack, index, sub, chunk)
+                stack, index, sub, chunk, shard_fn=shard_fn)
             if eval_fn is not None:
                 result = eval_fn(points)
                 if isinstance(result, tuple):
@@ -487,7 +492,7 @@ def exploration_phase(arena_pts, arena_log_l, arena_alive, arena_shell,
                       bound_log_v, slot_valid, log_l_min_last, n_total0,
                       n_update_rem, n_like_rem, f_live_target, n_live,
                       n_batch, chunk, max_batches, eval_fn, max_iters=4096,
-                      n_budget=None):
+                      n_budget=None, shard_fn=None):
     """Drive a slice of the exploration phase on device.
 
     The reference's exploration loop (reference:
@@ -583,6 +588,8 @@ def exploration_phase(arena_pts, arena_log_l, arena_alive, arena_shell,
             sub = jax.random.fold_in(jax.random.fold_in(key, b), it)
             points_s, outer_acc = G.union_sample_batch(
                 own.outer, own.outer_mask, sub, chunk, unit=True)
+            if shard_fn is not None:
+                points_s = shard_fn(points_s)
             self_acc = outer_acc & _neural_contains(own.neural, points_s)
             points = jnp.mod(points_s - own.shift, 1.0)
 
@@ -661,7 +668,7 @@ def exploration_phase(arena_pts, arena_log_l, arena_alive, arena_shell,
             state[0], state[1], state[2], state[11])
 
 
-def sample_shell_batch(stack, index, key, n_points):
+def sample_shell_batch(stack, index, key, n_points, shard_fn=None):
     """One fused candidate batch for shell ``index``.
 
     Draws ``n_points`` candidates from bound ``index`` (a traced integer —
@@ -688,6 +695,13 @@ def sample_shell_batch(stack, index, key, n_points):
     # its own neural bounds there, then map back to the common frame.
     points_s, outer_accept = G.union_sample_batch(
         own.outer, own.outer_mask, key, n_points, unit=True)
+    if shard_fn is not None:
+        # Device-mesh path: sharding the candidate axis here makes GSPMD
+        # partition the whole downstream per-candidate chain — the MLP
+        # membership sweep and the fused likelihood — across devices, the
+        # TPU-native analogue of the reference's parallel bound sampling
+        # (reference: nautilus/bounds/nautilus.py:223-237).
+        points_s = shard_fn(points_s)
     self_accept = outer_accept & _neural_contains(own.neural, points_s)
     points = jnp.mod(points_s - own.shift, 1.0)
 

@@ -39,7 +39,7 @@ from .ops.shell_stack import BoundStack, arena_transfer_split, \
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
-from .utils.fetch import fetch, fetch_many
+from .utils.fetch import fetch, fetch_many, put_tree, warmup
 from .utils.keys import KeyStream
 
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
@@ -158,6 +158,11 @@ class Sampler:
         self.seed = seed
         self.keys = KeyStream(seed)
         self.rng = np.random.default_rng(seed)
+        # Establish the device->host transfer channel in the background:
+        # on tunneled TPU backends the first copy of a process stalls for
+        # minutes while the link connects (see utils/fetch.py), so it
+        # starts now and overlaps tracing/compilation.
+        warmup()
         # Optional jax.sharding.Mesh: shards device-likelihood batches over
         # the 'dp' axis (the TPU-native analogue of the reference's
         # likelihood pool).
@@ -667,7 +672,7 @@ class Sampler:
             bound_mask = np.arange(b_pad) < len(self.bounds)
             # Built on host, uploaded once; device buffers are then reused
             # by every fused batch until the bound list changes.
-            self._bound_stack = jax.device_put(BoundStack(
+            self._bound_stack = put_tree(BoundStack(
                 outer=stacked('outer'), outer_mask=stacked('outer_mask'),
                 neural=neural, shift=stacked('shift'),
                 bound_mask=bound_mask))
@@ -682,18 +687,42 @@ class Sampler:
             return None
         transform = self._jax_transform()
         likelihood = self.likelihood
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            sharding = NamedSharding(
-                self.mesh, PartitionSpec(self.mesh.axis_names[0]))
-        else:
-            sharding = None
+        sharding = self._candidate_sharding()
 
         def eval_fn(points):
             if sharding is not None:
                 points = jax.lax.with_sharding_constraint(points, sharding)
             return likelihood(transform(points))
         return eval_fn
+
+    def _candidate_sharding(self):
+        """NamedSharding of the candidate batch axis over the mesh's first
+        axis, or None without a mesh."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(
+            self.mesh, PartitionSpec(self.mesh.axis_names[0]))
+
+    def _shard_points_fn(self):
+        """Candidate-axis sharding hook for the phase kernels.
+
+        With a mesh, candidate chunks are annotated so GSPMD partitions the
+        per-candidate work — union sampling, the MLP membership sweep, and
+        the fused likelihood — across devices, with XLA inserting the
+        collectives for the cross-candidate reductions. This is the
+        TPU-native analogue of the reference's likelihood pool and parallel
+        bound sampling (reference: nautilus/pool.py:36-107,
+        nautilus/bounds/nautilus.py:223-237); the drawn sample sequence is
+        device-count-invariant because keys never depend on the mesh.
+        """
+        sharding = self._candidate_sharding()
+        if sharding is None:
+            return None
+
+        def shard(points):
+            return jax.lax.with_sharding_constraint(points, sharding)
+        return shard
 
     def _fused_step(self, need_member=True):
         """One compiled program per ``add_samples`` call: the whole
@@ -710,6 +739,7 @@ class Sampler:
             self._fused_step_fn = {}
         if need_member not in self._fused_step_fn:
             eval_fn = self._device_eval_fn()
+            shard_fn = self._shard_points_fn()
             n_target = self.n_batch
             chunk = self.SHELL_BATCH
             max_iters = self.MAX_COLLECT_ITERS
@@ -719,7 +749,7 @@ class Sampler:
                 return collect_shell_points(
                     stack, index, key, n_target, chunk=chunk,
                     eval_fn=eval_fn, max_iters=max_iters,
-                    need_member=need_member)
+                    need_member=need_member, shard_fn=shard_fn)
 
             self._fused_step_fn[need_member] = step
         return self._fused_step_fn[need_member]
@@ -733,6 +763,7 @@ class Sampler:
         """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
         if self._phase_step_fn is None:
             eval_fn = self._device_eval_fn()
+            shard_fn = self._shard_points_fn()
             n_batch = self.n_batch
             chunk = self.SHELL_BATCH
             max_batches = self.PHASE_MAX_BATCHES
@@ -745,7 +776,7 @@ class Sampler:
                     stack, key, shell_n, shell_ns, m1, s1, m2, s2,
                     bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
                     max_batches, eval_fn, max_iters=max_iters,
-                    n_budget=n_budget)
+                    n_budget=n_budget, shard_fn=shard_fn)
 
             self._phase_step_fn = phase
         return self._phase_step_fn
@@ -881,6 +912,7 @@ class Sampler:
         ops.shell_stack.exploration_phase)."""
         if self._explore_step_fn is None:
             eval_fn = self._device_eval_fn()
+            shard_fn = self._shard_points_fn()
             n_batch = self.n_batch
             chunk = self.SHELL_BATCH
             max_batches = self.PHASE_MAX_BATCHES
@@ -897,7 +929,8 @@ class Sampler:
                     shell_ns, m1, s1, bound_log_v, slot_valid,
                     log_l_min_last, n_total0, n_update_rem, n_like_rem,
                     f_live_target, n_live, n_batch, chunk, max_batches,
-                    eval_fn, max_iters=max_iters, n_budget=n_budget)
+                    eval_fn, max_iters=max_iters, n_budget=n_budget,
+                    shard_fn=shard_fn)
 
             self._explore_step_fn = phase
         return self._explore_step_fn

@@ -1,29 +1,76 @@
 """Device-to-host fetch helpers tuned for remote-tunnel TPU links.
 
-Measured on this environment's tunneled TPU (see ROADMAP.md): dispatches
-and syncs round-trip in ~0.1 ms and bulk transfers run at 20-140 MB/s, but
-*small* device-to-host copies (a few kB — counters, packed geometry
-vectors, per-batch log-likelihood rows) intermittently fall into a
-pathological slow path costing tens of seconds per copy. Every host-bound
-payload below a floor is therefore padded on device into a single
-floor-sized buffer before the copy: one extra O(0.1 ms) device op buys a
-transfer that always rides the bulk path.
+Measured on this environment's tunneled TPU (see ROADMAP.md): the FIRST
+device-to-host copy of a process stalls for ~190 s (a fixed
+connection-establishment timeout in the transfer layer); after that every
+copy costs ~27 ms regardless of size (4 kB to 4 MB) — pure round-trip
+latency. Two consequences shape this module:
 
-``fetch``/``fetch_many`` are no-ops (plain ``np.asarray``) on local
-backends (CPU tests), where padding would only waste bandwidth.
+- :func:`warmup` pays the one-time stall as early as possible, on a
+  daemon thread, so it overlaps XLA compilation and device compute
+  instead of landing in the middle of the run.
+- :func:`fetch_many` merges several result arrays into ONE device-side
+  byte buffer per host read — n fetches at 27 ms each become one.
+
+An optional size floor (``NAUTILUS_TPU_FETCH_FLOOR`` bytes) pads every
+copy up to a bulk size; measurements show no size effect after warmup, so
+it defaults to off.
 """
 
 import os
+import threading
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Floor in bytes for a single device->host copy. 512 kB transfers measured
-# ~20-30 ms on the tunnel; overridable for other link profiles.
-FETCH_FLOOR_BYTES = int(os.environ.get(
-    'NAUTILUS_TPU_FETCH_FLOOR', 512 * 1024))
+# Optional floor in bytes for a single device->host copy (0 = disabled).
+FETCH_FLOOR_BYTES = int(os.environ.get('NAUTILUS_TPU_FETCH_FLOOR', 0))
+
+_warmup_thread = None
+_warmup_lock = threading.Lock()
+
+
+@jax.jit
+def _identity_jit(*leaves):
+    return leaves
+
+
+def put_tree(tree):
+    """Upload a pytree to device in ONE dispatch.
+
+    ``jax.device_put`` on a pytree transfers leaf-by-leaf with a ~30 ms
+    per-leaf round trip on the tunneled backend (measured: 647 ms for 20
+    leaves); passing the leaves as arguments of a single jitted identity
+    batches the whole upload into one ~30 ms call.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    return jax.tree.unflatten(treedef, _identity_jit(*leaves))
+
+
+def warmup(wait=False):
+    """Establish the device->host transfer channel.
+
+    On the tunneled TPU backend the first copy of a process blocks for
+    ~190 s while the transfer layer connects; every later copy is ~27 ms.
+    Calling this at framework initialization moves that one-time cost off
+    the sampling path, overlapped with compilation. Idempotent;
+    ``wait=True`` blocks until the channel is live.
+    """
+    global _warmup_thread
+    if _platform() not in _PAD_PLATFORMS:
+        return
+    with _warmup_lock:
+        if _warmup_thread is None:
+            def _warm():
+                np.asarray(jnp.zeros(8, jnp.float32) + 0.0)
+
+            _warmup_thread = threading.Thread(
+                target=_warm, name='nautilus-tpu-link-warmup', daemon=True)
+            _warmup_thread.start()
+    if wait:
+        _warmup_thread.join()
 
 _PAD_PLATFORMS = ('tpu',)
 
@@ -32,9 +79,14 @@ def _platform():
     return jax.default_backend()
 
 
+def merge_active():
+    """Whether fetch merging/padding applies (remote-tunnel backends)."""
+    return _platform() in _PAD_PLATFORMS
+
+
 def padding_active():
-    """Whether fetch padding applies on the current backend."""
-    return _platform() in _PAD_PLATFORMS and FETCH_FLOOR_BYTES > 0
+    """Whether the optional size-floor padding applies."""
+    return merge_active() and FETCH_FLOOR_BYTES > 0
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -78,12 +130,12 @@ def fetch_many(*arrays):
     (they are read from the device arrays without synchronizing).
     """
     arrays = [jnp.asarray(a) for a in arrays]
-    if not padding_active():
+    if not merge_active() or len(arrays) == 1 and not padding_active():
         return tuple(np.asarray(a) for a in arrays)
 
     total = sum(a.size * (1 if a.dtype == jnp.bool_ else a.dtype.itemsize)
                 for a in arrays)
-    n_pad = max(total, FETCH_FLOOR_BYTES)
+    n_pad = max(total, FETCH_FLOOR_BYTES, 1)
     buf = np.asarray(_pack_many_jit(tuple(arrays), n_pad))
 
     out = []

@@ -12,6 +12,7 @@ from nautilus_tpu.utils import fetch as F
 @pytest.fixture
 def padded(monkeypatch):
     monkeypatch.setattr(F, '_PAD_PLATFORMS', ('cpu', 'tpu'))
+    monkeypatch.setattr(F, 'FETCH_FLOOR_BYTES', 512 * 1024)
     assert F.padding_active()
 
 

@@ -92,3 +92,29 @@ def test_sampler_with_mesh(mesh8):
     assert success
     # Unnormalized Gaussian: logZ = log(2 pi sigma^2) for sigma = 0.1.
     assert sampler.log_z == pytest.approx(np.log(2 * np.pi * 0.01), abs=0.2)
+
+
+def test_sampler_mesh_matches_single_device(mesh8):
+    # The mesh shards computation, not keys: the drawn candidate sequence
+    # is device-count-invariant, so a mesh run must reproduce the
+    # single-device run up to float reassociation in the sharded
+    # reductions.
+    def likelihood(x):
+        return -0.5 * jnp.sum(((x - 0.5) / 0.05) ** 2, axis=-1)
+
+    results = {}
+    for mesh in [None, mesh8]:
+        prior = Prior()
+        prior.add_parameter('a')
+        prior.add_parameter('b')
+        sampler = Sampler(prior, likelihood, n_live=200, n_networks=2,
+                          seed=11, vectorized='jax', mesh=mesh)
+        assert sampler.run(n_eff=500)
+        results[mesh is None] = (sampler.log_z, sampler.n_like,
+                                 sampler.n_eff)
+
+    (z_mesh, n_like_mesh, n_eff_mesh) = results[False]
+    (z_one, n_like_one, n_eff_one) = results[True]
+    assert z_mesh == pytest.approx(z_one, abs=1e-3)
+    assert n_like_mesh == n_like_one
+    assert n_eff_mesh == pytest.approx(n_eff_one, rel=1e-3)
