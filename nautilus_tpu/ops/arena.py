@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from ..utils.bucket import bucket_size
 from ..utils.fetch import fetch
 
-ARENA_FLOOR = 4096
+# Initial capacity. High floor: a capacity change re-shapes the arena
+# buffers and forces a recompile of the whole-phase executables, so start
+# big enough that typical runs (n_like ~ 2e4) never grow. 32k rows cost
+# ~0.8 MB of HBM at d=3 — noise next to one compile on a tunneled backend.
+ARENA_FLOOR = 32768
 
 
 @jax.jit

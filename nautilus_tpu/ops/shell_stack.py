@@ -42,6 +42,42 @@ def _slice_pytree(tree, index):
         a, index, axis=0, keepdims=False), tree)
 
 
+@jax.jit
+def stack_set_slot(stack, index, outer, outer_mask, ell, mean, scale, cut,
+                   has_net, mode_mask, shift, valid):
+    """Write one bound's geometry into slot ``index`` of a BoundStack.
+
+    One dispatch replaces the full host restack + re-upload that a bound
+    append would otherwise cost (the small host fields ride in as call
+    arguments; the MLP weights are inserted separately on device by
+    ``insert_neural_slot_jit``). ``valid=False`` clears a slot instead —
+    used when a speculative bound is rejected.
+    """
+    def set_at(leaf, new):
+        return leaf.at[index].set(jnp.asarray(new, leaf.dtype))
+
+    neural = stack.neural._replace(
+        ell=jax.tree.map(set_at, stack.neural.ell, ell),
+        mean=set_at(stack.neural.mean, mean),
+        scale=set_at(stack.neural.scale, scale),
+        cut=set_at(stack.neural.cut, cut),
+        has_net=set_at(stack.neural.has_net, has_net),
+        mode_mask=set_at(stack.neural.mode_mask, mode_mask))
+    return stack._replace(
+        outer=jax.tree.map(set_at, stack.outer, outer),
+        outer_mask=set_at(stack.outer_mask, outer_mask),
+        neural=neural,
+        shift=set_at(stack.shift, shift),
+        bound_mask=stack.bound_mask.at[index].set(valid))
+
+
+@jax.jit
+def stack_clear_slot(stack, index):
+    """Mark slot ``index`` invalid (speculative bound rejected)."""
+    return stack._replace(
+        bound_mask=stack.bound_mask.at[index].set(False))
+
+
 def _neural_contains(neural, points):
     """(M-masked) neural-bound membership for one bound slot.
 

@@ -35,12 +35,18 @@ from .ops.arena import PointArena
 from .ops.neural_stack import NeuralStack, insert_neural_slot_jit
 from .ops.shell_stack import BoundStack, arena_transfer_split, \
     bound_contains_matrix, collect_shell_points, exploration_phase, \
-    mc_volume_counters, sampling_phase, stack_slot_contains
+    mc_volume_counters, sampling_phase, stack_clear_slot, stack_set_slot, \
+    stack_slot_contains
 from .pool import SamplerPool, likelihood_worker
 from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
 from .utils.fetch import fetch, fetch_many, put_tree, warmup
 from .utils.keys import KeyStream
+
+# Compiled phase callables shared across Sampler instances with identical
+# (likelihood, prior, batching) configuration — repeat runs in one process
+# reuse loaded executables instead of re-tracing (see _step_cache_key).
+_STEP_FN_CACHE = {}
 
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
     mc_volume_counters)
@@ -170,9 +176,7 @@ class Sampler:
 
         self._jax_eval_cache = {}
         self._bound_stack = None
-        self._fused_step_fn = None
-        self._phase_step_fn = None
-        self._explore_step_fn = None
+        self._local_step_fns = None
         # In-flight speculative candidate batch (device future). Issuance
         # and reuse follow deterministic rules so checkpoint resume stays
         # bitwise identical; see _add_samples_device.
@@ -438,8 +442,7 @@ class Sampler:
                 # breath so its device time and link latency overlap the
                 # counter fetch.
                 self.bounds.append(bound)
-                self._bound_stack = None
-                stack = self._ensure_stack()
+                stack = self._stack_insert(len(self.bounds) - 1, bound)
                 mc_future = _mc_volume_jit(
                     stack, len(self.bounds) - 1, self.keys.next(),
                     1000, 1024, 256)
@@ -474,7 +477,11 @@ class Sampler:
                     success = True
                 else:
                     self.bounds.pop()
-                    self._bound_stack = None
+                    if self._bound_stack is not None:
+                        # Clear the speculative slot in place; no rebuild.
+                        self._bound_stack = stack_clear_slot(
+                            self._bound_stack,
+                            jnp.asarray(len(self.bounds), jnp.int32))
                     success = False
 
         if success:
@@ -634,12 +641,14 @@ class Sampler:
                                for b in self.bounds[1:]])
             # Pad floors trade recompiles against per-chunk compute: the
             # membership matrix costs B_pad x M_pad x E MLP forwards per
-            # candidate, so the MLP-bearing axes (bounds, modes) stay
-            # tight — a unimodal run pays exactly one mode slot — while
-            # the geometry-only union axis keeps a high floor.
+            # candidate, so the MLP-bearing mode axis stays tight — a
+            # unimodal run pays exactly one mode slot — while the
+            # geometry-only union axis and the bound axis keep high floors
+            # (a typical run crosses 8 bounds, and re-bucketing the bound
+            # axis would recompile every phase executable mid-run).
             k_pad = bucket_size(k_max, floor=16)
             m_pad = bucket_size(m_max, floor=1)
-            b_pad = bucket_size(len(self.bounds), floor=8)
+            b_pad = bucket_size(len(self.bounds), floor=32)
 
             parts = [self._cube_stack_parts(k_pad, m_pad)]
             for bound in self.bounds[1:]:
@@ -677,6 +686,43 @@ class Sampler:
                 neural=neural, shift=stacked('shift'),
                 bound_mask=bound_mask))
         return self._bound_stack
+
+    def _stack_insert(self, index, bound):
+        """Write a freshly built bound into the cached run stack.
+
+        One device dispatch (geometry fields ride in as call arguments,
+        MLP weights scatter on device) instead of the full host restack +
+        re-upload; falls back to :meth:`_ensure_stack` when the cached
+        stack's pad shapes can no longer hold the new bound.
+        """
+        stack = self._bound_stack
+        if stack is not None:
+            b_pad = stack.bound_mask.shape[0]
+            k_pad = stack.outer_mask.shape[1]
+            m_pad = stack.neural.mode_mask.shape[1]
+            if (index >= b_pad or
+                    len(bound.outer_bound.params_list) > k_pad or
+                    max(len(bound.neural_bounds), 1) > m_pad):
+                stack = None
+        if stack is None:
+            self._bound_stack = None
+            return self._ensure_stack()
+
+        parts = bound.stack_parts(k_pad, m_pad)
+        stack = stack_set_slot(
+            stack, jnp.asarray(index, jnp.int32), parts['outer'],
+            parts['outer_mask'], parts['ell'], parts['mean'],
+            parts['scale'], parts['cut'], parts['has_net'],
+            parts['mode_mask'], parts['shift'], jnp.asarray(True))
+        flat = bound.neural_flat_array()
+        if flat is not None:
+            weights, biases = insert_neural_slot_jit(
+                stack.neural.weights, stack.neural.biases,
+                jnp.asarray(flat, jnp.float32), index)
+            stack = stack._replace(neural=stack.neural._replace(
+                weights=weights, biases=biases))
+        self._bound_stack = stack
+        return stack
 
     MAX_COLLECT_ITERS = 4096
     PHASE_MAX_BATCHES = 8
@@ -724,6 +770,43 @@ class Sampler:
             return jax.lax.with_sharding_constraint(points, sharding)
         return shard
 
+    def _step_cache_key(self):
+        """Identity of this sampler's compiled phase programs.
+
+        Two samplers with the same likelihood function, equivalent prior,
+        and the same batching configuration trace bit-identical phase
+        programs — sharing the jitted callables across instances lets a
+        later sampler reuse the first one's loaded executables (repeat
+        runs in one process skip all compile/load cost). Returns None when
+        identity cannot be established (bound likelihood args, exotic
+        priors); those samplers keep per-instance callables.
+        """
+        if self.vectorized != 'jax':
+            return None
+        if self.likelihood.args or self.likelihood.keywords:
+            return None
+        if callable(self.prior):
+            if self.prior.args or self.prior.keywords:
+                return None
+            prior_key = ('fn', self.prior.func)
+        elif isinstance(self.prior, Prior) and self.prior.is_uniform():
+            lo, hi = self.prior.uniform_bounds()
+            prior_key = ('uniform', tuple(lo), tuple(hi))
+        else:
+            prior_key = ('prior', self.prior, tuple(self.prior.keys))
+        return (self._base_likelihood, prior_key, self.mesh, self.n_batch,
+                self.n_live, self.n_dim, self.SHELL_BATCH,
+                self.PHASE_MAX_BATCHES, self.MAX_COLLECT_ITERS)
+
+    def _step_fns(self):
+        """Compiled-callable store: module-shared when identity allows."""
+        key = self._step_cache_key()
+        if key is None:
+            if self._local_step_fns is None:
+                self._local_step_fns = {}
+            return self._local_step_fns
+        return _STEP_FN_CACHE.setdefault(key, {})
+
     def _fused_step(self, need_member=True):
         """One compiled program per ``add_samples`` call: the whole
         rejection loop (draw candidates, gate through the bound stack,
@@ -735,9 +818,9 @@ class Sampler:
         membership sweep when the host knows no later bound or live
         transfer candidate exists.
         """
-        if self._fused_step_fn is None:
-            self._fused_step_fn = {}
-        if need_member not in self._fused_step_fn:
+        fns = self._step_fns()
+        name = 'fused_{}'.format(need_member)
+        if name not in fns:
             eval_fn = self._device_eval_fn()
             shard_fn = self._shard_points_fn()
             n_target = self.n_batch
@@ -751,8 +834,8 @@ class Sampler:
                     eval_fn=eval_fn, max_iters=max_iters,
                     need_member=need_member, shard_fn=shard_fn)
 
-            self._fused_step_fn[need_member] = step
-        return self._fused_step_fn[need_member]
+            fns[name] = step
+        return fns[name]
 
     def _need_member(self, index):
         """Whether a collect dispatch needs the full membership matrix."""
@@ -761,7 +844,8 @@ class Sampler:
 
     def _phase_step(self):
         """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
-        if self._phase_step_fn is None:
+        fns = self._step_fns()
+        if 'phase' not in fns:
             eval_fn = self._device_eval_fn()
             shard_fn = self._shard_points_fn()
             n_batch = self.n_batch
@@ -778,8 +862,8 @@ class Sampler:
                     max_batches, eval_fn, max_iters=max_iters,
                     n_budget=n_budget, shard_fn=shard_fn)
 
-            self._phase_step_fn = phase
-        return self._phase_step_fn
+            fns['phase'] = phase
+        return fns['phase']
 
     def _batch_budget(self, n_like_max):
         """Batches allowed before ``n_like`` reaches ``n_like_max`` —
@@ -910,7 +994,8 @@ class Sampler:
     def _explore_phase_step(self):
         """Compiled exploration-phase driver (see
         ops.shell_stack.exploration_phase)."""
-        if self._explore_step_fn is None:
+        fns = self._step_fns()
+        if 'explore' not in fns:
             eval_fn = self._device_eval_fn()
             shard_fn = self._shard_points_fn()
             n_batch = self.n_batch
@@ -932,8 +1017,8 @@ class Sampler:
                     eval_fn, max_iters=max_iters, n_budget=n_budget,
                     shard_fn=shard_fn)
 
-            self._explore_step_fn = phase
-        return self._explore_step_fn
+            fns['explore'] = phase
+        return fns['explore']
 
     def _exploration_phase_device(self, f_live_target, n_like_max=np.inf,
                                   verbose=False):
