@@ -15,6 +15,17 @@ This replaces the reference's host-resident ``self.points`` lists
 (reference: nautilus/sampler.py:316-327); on hardware behind a
 low-bandwidth dispatch tunnel the per-batch coordinate fetches those lists
 require dominate wall time.
+
+Precision envelope: the device columns are float32 (TPU-native), while all
+host-side shell statistics recompute in float64 from the fetched values.
+Log-likelihoods are therefore quantized to f32 resolution (~7 decimal
+digits) on their way into the bookkeeping: |log L| magnitudes up to ~1e6
+keep absolute resolution better than 0.1 nat, far inside the sampler's
+statistical error at default settings. Likelihoods needing more range or
+relative precision than f32 (|log L| >~ 1e30, or evidence differences
+below ~|log L| * 1e-7 nat) should use the host evaluation path
+(``vectorized=True/False``), which is float64 end-to-end like the
+reference.
 """
 
 from functools import partial

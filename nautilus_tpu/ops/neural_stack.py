@@ -30,8 +30,13 @@ class NeuralStack(NamedTuple):
     mode_mask: jax.Array  # (M,) bool: valid modes
 
 
-def neural_contains_any(stack, points):
-    """Whether each point lies in at least one mode's neural bound."""
+def neural_contains_any(stack, points, empty_means_all=False):
+    """Whether each point lies in at least one mode's neural bound.
+
+    ``empty_means_all=True`` makes a stack with zero valid modes impose no
+    neural cut at all — the convention of the run-level bound stack, whose
+    unit-cube slot has no modes (see ops/shell_stack.py).
+    """
 
     def one_mode(ell, mean, scale, wb, cut, has_net):
         in_ell = G.ell_contains(ell, points)
@@ -49,7 +54,10 @@ def neural_contains_any(stack, points):
         stack.ell, stack.mean, stack.scale,
         (stack.weights, stack.biases), stack.cut, stack.has_net)
     per_mode = per_mode & stack.mode_mask[:, None]
-    return jnp.any(per_mode, axis=0)
+    any_mode = jnp.any(per_mode, axis=0)
+    if empty_means_all:
+        return any_mode | ~jnp.any(stack.mode_mask)
+    return any_mode
 
 
 def insert_neural_slot(weights, biases, flat, b_idx):

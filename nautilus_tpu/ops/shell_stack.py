@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as G
-from .mlp import MLPParams, mlp_forward_scoring
-from .neural_stack import NeuralStack
+from .neural_stack import NeuralStack, neural_contains_any
 
 
 class BoundStack(NamedTuple):
@@ -79,32 +78,9 @@ def stack_clear_slot(stack, index):
 
 
 def _neural_contains(neural, points):
-    """(M-masked) neural-bound membership for one bound slot.
-
-    Same math as :func:`nautilus_tpu.ops.neural_stack.neural_contains_any`.
-    """
-
-    def one_mode(ell, mean, scale, wb, cut, has_net):
-        in_ell = G.ell_contains(ell, points)
-        t = G.ell_transform(ell, points)
-        z = (t - mean) / scale
-        weights, biases = wb
-        preds = jax.vmap(
-            lambda w, b: mlp_forward_scoring(MLPParams(w, b), z))(
-                weights, biases)
-        score = jnp.mean(preds, axis=0)
-        score_ok = score > cut - 1e-9
-        return in_ell & (score_ok | ~has_net)
-
-    per_mode = jax.vmap(one_mode)(
-        neural.ell, neural.mean, neural.scale,
-        (neural.weights, neural.biases), neural.cut, neural.has_net)
-    per_mode = per_mode & neural.mode_mask[:, None]
-    # A bound with zero valid modes (the unit-cube slot) imposes no neural
-    # cut at all.
-    any_mode = jnp.any(per_mode, axis=0)
-    no_modes = ~jnp.any(neural.mode_mask)
-    return any_mode | no_modes
+    """Neural-bound membership for one bound slot; a slot with zero valid
+    modes (the unit-cube slot) imposes no neural cut at all."""
+    return neural_contains_any(neural, points, empty_means_all=True)
 
 
 def bound_contains_matrix(stack, points):

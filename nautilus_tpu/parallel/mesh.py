@@ -33,6 +33,31 @@ def make_mesh(n_devices=None, axis='dp'):
     return Mesh(np.array(devices), (axis,))
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX and return a global device mesh.
+
+    The TPU-native analogue of the reference's MPI pool setup (reference:
+    docs/guides/parallelization.rst "MPI Parallelization"): every host runs
+    the same SPMD program; ``jax.distributed.initialize`` wires the hosts
+    together (arguments are auto-detected on TPU pods — pass them only for
+    manual clusters), and the returned mesh spans every chip in the slice.
+    Host 0 keeps the sampler's control loop, exactly like the reference's
+    driver process; passing the mesh to ``Sampler(mesh=...)`` shards
+    candidate generation, the membership sweep, and the likelihood over
+    ICI/DCN with XLA-inserted collectives.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes is not None:
+        kwargs['num_processes'] = num_processes
+    if process_id is not None:
+        kwargs['process_id'] = process_id
+    jax.distributed.initialize(**kwargs)
+    return make_mesh()
+
+
 def sharded_likelihood(evaluate, mesh, axis='dp'):
     """Wrap a jitted batch evaluator so its batch axis shards over the mesh.
 

@@ -218,6 +218,10 @@ class Sampler:
         self.blobs_t = None
         self.n_update_iter = 0
         self.n_like_iter = 0
+        # Shells that failed to deliver a full batch within the candidate
+        # budget: they stop being fill/variance targets (with a warning)
+        # instead of aborting the run.
+        self._starved = set()
 
         self.filepath = filepath
         if resume and filepath is not None and Path(filepath).exists():
@@ -247,7 +251,8 @@ class Sampler:
             self.n_update_iter = -self.n_live
             self.n_like_iter = 0
 
-        success = (self.explored and np.all(self.shell_n >= n_shell) and
+        success = (self.explored and
+                   not np.any(self._unfilled_shells(n_shell)) and
                    self.n_eff >= n_eff)
 
         while ((self.n_like < n_like_max) and
@@ -310,22 +315,25 @@ class Sampler:
                 self._sampling_phase_device(n_shell, n_eff, n_like_max,
                                             verbose=verbose)
 
-            elif np.any(self.shell_n < n_shell):
-                shell = np.flatnonzero(self.shell_n < n_shell)[0]
+            elif np.any(self._unfilled_shells(n_shell)):
+                shell = np.flatnonzero(self._unfilled_shells(n_shell))[0]
                 self.add_samples(shell, verbose=verbose)
                 if self.filepath is not None:
                     self.write_shell_update(self.filepath, shell)
 
             elif self.n_eff < n_eff:
-                shell = np.argmax(
-                    self.shell_log_l + self.shell_log_v -
-                    0.5 * np.log(self.shell_n) -
-                    0.5 * np.log(self.shell_n_eff))
+                crit = (self.shell_log_l + self.shell_log_v -
+                        0.5 * np.log(self.shell_n) -
+                        0.5 * np.log(self.shell_n_eff))
+                for starved in self._starved:
+                    crit[starved] = -np.inf
+                shell = np.argmax(crit)
                 self.add_samples(shell, verbose=verbose)
                 if self.filepath is not None:
                     self.write_shell_update(self.filepath, shell)
 
-            success = (self.explored and np.all(self.shell_n >= n_shell) and
+            success = (self.explored and
+                       not np.any(self._unfilled_shells(n_shell)) and
                        self.n_eff >= n_eff)
 
         self.timing['total'] += time() - t_start
@@ -334,6 +342,13 @@ class Sampler:
             self.print_status('Finished' if success else 'Stopped')
 
         return success
+
+    def _unfilled_shells(self, n_shell):
+        """Shells still needing samples; starved shells are exempt."""
+        need = self.shell_n < n_shell
+        for shell in self._starved:
+            need[shell] = False
+        return need
 
     @property
     def evals_per_second(self):
@@ -909,6 +924,10 @@ class Sampler:
         for i in range(n_bounds):
             ll = self.log_l[i][starts[i]:]
             shell_n[i] = len(ll)
+            if i in self._starved:
+                # A starved shell reports itself as filled so the device
+                # fill rule skips it (its true counts stay in host state).
+                shell_n[i] = max(shell_n[i], int(n_shell))
             shell_ns[i] = ns_adj[i]
             bound_log_v[i] = self.bounds[i].log_v
             if len(ll) > 0:
@@ -941,13 +960,15 @@ class Sampler:
             # Device stats judged the phase done but host stats disagreed
             # (f32 vs f64 rounding near the threshold): fall back to one
             # host-driven batch so the run loop always progresses.
-            if np.any(self.shell_n < n_shell):
-                shell = int(np.flatnonzero(self.shell_n < n_shell)[0])
+            if np.any(self._unfilled_shells(n_shell)):
+                shell = int(np.flatnonzero(self._unfilled_shells(n_shell))[0])
             else:
-                shell = int(np.argmax(
-                    self.shell_log_l + self.shell_log_v -
-                    0.5 * np.log(self.shell_n) -
-                    0.5 * np.log(self.shell_n_eff)))
+                crit = (self.shell_log_l + self.shell_log_v -
+                        0.5 * np.log(self.shell_n) -
+                        0.5 * np.log(self.shell_n_eff))
+                for starved in self._starved:
+                    crit[starved] = -np.inf
+                shell = int(np.argmax(crit))
             self.add_samples(shell, verbose=verbose)
             if self.filepath is not None:
                 self.write_shell_update(self.filepath, shell)
@@ -986,10 +1007,15 @@ class Sampler:
             if self.filepath is not None:
                 self.write_shell_update(self.filepath, int(shell))
         if meta[n_used - 1, 4] < self.n_batch:
-            raise RuntimeError(
-                'Shell sampling did not deliver {} points within {} '
-                'candidate chunks; the shell may be empty.'.format(
-                    self.n_batch, self.MAX_COLLECT_ITERS))
+            # Starved batch: everything delivered was committed above;
+            # stop targeting this shell rather than aborting the run.
+            shell = int(meta[n_used - 1, 0])
+            self._starved.add(shell)
+            warn('Shell {} delivered only {} of {} points within the '
+                 'candidate budget; it will no longer be targeted for '
+                 'additional samples.'.format(
+                     shell, int(meta[n_used - 1, 4]), self.n_batch),
+                 RuntimeWarning, stacklevel=2)
 
     def _explore_phase_step(self):
         """Compiled exploration-phase driver (see
@@ -1130,9 +1156,12 @@ class Sampler:
                 self.write_shell_update(self.filepath, index)
 
         if meta[n_used - 1, 3] < self.n_batch:
+            # All delivered batches were committed and checkpointed above;
+            # the error leaves a consistent, resumable state.
             raise RuntimeError(
-                'Shell sampling did not deliver {} points within {} '
-                'candidate chunks; the shell may be empty.'.format(
+                'Exploration sampling did not deliver {} points within {} '
+                'candidate chunks; the newest bound may be empty. The run '
+                'state is consistent and can be resumed.'.format(
                     self.n_batch, self.MAX_COLLECT_ITERS))
 
     def _add_samples_device(self, shell):
@@ -1202,10 +1231,26 @@ class Sampler:
         self.timing['sample_cand'] = self.timing.get(
             'sample_cand', 0) + int(n_cand)
         if n_iter >= self.MAX_COLLECT_ITERS:
-            raise RuntimeError(
-                'Shell sampling did not deliver {} points within {} '
-                'candidate chunks; the shell may be empty.'.format(
-                    self.n_batch, self.MAX_COLLECT_ITERS))
+            if shell == -1:
+                # Exploration cannot proceed without fresh live points;
+                # all completed batches are committed and checkpointed, so
+                # the error leaves a consistent, resumable state.
+                raise RuntimeError(
+                    'Exploration sampling did not deliver {} points '
+                    'within {} candidate chunks; the newest bound may be '
+                    'empty. The run state is consistent and can be '
+                    'resumed.'.format(self.n_batch, self.MAX_COLLECT_ITERS))
+            # Sampling phase: drop the partial batch, stop targeting the
+            # shell, and let the run loop continue.
+            if self.arena.device and ids is not None:
+                self.arena.kill(ids)
+            self._starved.add(index)
+            warn('Shell {} delivered no full batch within the candidate '
+                 'budget; it will no longer be targeted for additional '
+                 'samples.'.format(index), RuntimeWarning, stacklevel=2)
+            self.timing['sample'] += time() - t_start
+            blobs0 = self.blobs_t[:0] if self.blobs_t is not None else None
+            return np.zeros(0, dtype=int), np.zeros(0), blobs0, 0
 
         if index > 0:
             bound.outer_bound.n_sample += n_cand
