@@ -140,7 +140,13 @@ def make_host_callback_transform(dists):
     """``io_callback`` escape hatch: evaluate exotic ``isf`` priors on host
     inside the jitted program. Column ``i`` of the result is
     ``dists[i].isf(1 - u[..., i])``; recognized families should be handled
-    on device instead (see :func:`make_dim_transform`)."""
+    on device instead (see :func:`make_dim_transform`).
+
+    Backend note: host callbacks require PJRT host send/recv support; on
+    backends without it (e.g. tunneled TPU proxies) exotic families must
+    use the host evaluation path (``vectorized=True/False``) instead —
+    the sampler surfaces the backend's UNIMPLEMENTED error at trace time.
+    """
 
     def host_isf(u):
         u = np.asarray(u, np.float64)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from . import geometry as G
-from .mlp import MLPParams, mlp_forward_scoring
+from .pallas_kernels import ensemble_score
 
 
 class NeuralStack(NamedTuple):
@@ -43,10 +43,9 @@ def neural_contains_any(stack, points, empty_means_all=False):
         t = G.ell_transform(ell, points)
         z = (t - mean) / scale
         weights, biases = wb
-        preds = jax.vmap(
-            lambda w, b: mlp_forward_scoring(MLPParams(w, b), z))(
-                weights, biases)
-        score = jnp.mean(preds, axis=0)
+        # Pallas one-pass VMEM kernel on TPU, XLA elsewhere (see
+        # ops/pallas_kernels.ensemble_score for the measurements).
+        score = ensemble_score(z, weights, biases)
         score_ok = score > cut - 1e-9
         return in_ell & (score_ok | ~has_net)
 

@@ -460,7 +460,7 @@ class Sampler:
                 stack = self._stack_insert(len(self.bounds) - 1, bound)
                 mc_future = _mc_volume_jit(
                     stack, len(self.bounds) - 1, self.keys.next(),
-                    1000, 1024, 256)
+                    1000, 1024, 8192)
                 n_shells = len(self.bounds) - 1
                 if self.arena.device:
                     # Containment of every arena row in the new bound: a
@@ -739,7 +739,14 @@ class Sampler:
         self._bound_stack = stack
         return stack
 
-    MAX_COLLECT_ITERS = 4096
+    # Safety cap on rejection-loop chunks per batch. The reference has NO
+    # cap (reference: nautilus/sampler.py:790 loops until delivery) and
+    # legitimately brute-forces ~1e-5-acceptance shells (e.g. the deep
+    # eggbox, where the outer bound degenerates to the unit cube and only
+    # the MLP gate selects); 2^16 chunks = ~134M candidates keeps that
+    # regime reachable while still bounding a truly empty shell to device
+    # minutes.
+    MAX_COLLECT_ITERS = 65536
     PHASE_MAX_BATCHES = 8
 
     def _device_eval_fn(self):
@@ -1030,7 +1037,10 @@ class Sampler:
             max_iters = self.MAX_COLLECT_ITERS
             n_live = self.n_live
 
-            @jax.jit
+            # Donating the arena buffers lets XLA update them in place —
+            # at deep-run scale (1e6 rows x d) the in/out copies would
+            # otherwise double the program's memory footprint.
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
             def phase(pts, log_l, alive, shell, arena_n, stack, key, index,
                       shell_ns, m1, s1, bound_log_v, slot_valid,
                       log_l_min_last, n_total0, n_update_rem, n_like_rem,
@@ -1103,6 +1113,9 @@ class Sampler:
         n_used = int(n_used)
 
         if n_used == 0:
+            # Adopt the (unchanged) returned buffers: the dispatch donated
+            # the previous arena storage.
+            self.arena.adopt(pts_a, log_l_a, alive_a, shell_a, 0)
             # Device f32 stats disagreed with the host's f64 rules near a
             # threshold: fall back to one host-paced batch so the run loop
             # always progresses.

@@ -16,8 +16,8 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
-# Persistent compile cache: repeat suite runs skip XLA compilation.
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                                 '/tmp/nautilus_tpu_test_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# No persistent compile cache for the CPU suite: XLA:CPU's AOT
+# executable (de)serialization is unreliable on machines whose detected
+# CPU features differ from the cache writer's (it warns about SIGILL and
+# has produced segfaults inside cache writes). The TPU benchmark keeps
+# its own cache — the XLA:TPU serializer does not share this problem.

@@ -150,11 +150,17 @@ def main():
                                   0.5))
 
     # 6. 50D batched Gaussian: the "expensive vectorized likelihood"
-    # regime — wide batches keep the MXU busy.
+    # regime — wide batches keep the MXU busy. sigma=0.15 keeps the
+    # posterior-to-prior compression at ~47 nats (~35 bound iterations);
+    # sharper posteriors scale the run linearly in compression (a 50-D
+    # sigma=0.03 run needs ~130 nats, ~100 bounds, and ~6e5 evaluations
+    # in the reference too).
     if not quick:
-        m = analytic.correlated_gaussian(n_dim=50, rho=0.0, sigma=0.03)
+        # Truth: logZ = log P_N(box) = -0.04037(10), from 4e6 draws of the
+        # exact Gaussian (the box clips ~4% of the mass at sigma=0.15).
+        m = analytic.correlated_gaussian(n_dim=50, rho=0.2, sigma=0.15)
         results.append(run_config(
-            '50d_gaussian', m, 3000, 3000, 0.0, 0.3, n_networks=4))
+            '50d_gaussian', m, 3000, 3000, -0.04037, 0.3, n_networks=4))
 
     print(json.dumps({
         'passed': sum(r['passed'] for r in results),
