@@ -40,9 +40,12 @@ import jax.numpy as jnp
 
 if args.virtual:
     jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ['JAX_COMPILATION_CACHE_DIR'])
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+else:
+    # Persistent cache only off-CPU: XLA:CPU AOT deserialization is
+    # unreliable across CPU-feature variations (see tests/conftest.py).
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 from nautilus_tpu import Prior, Sampler, warmup  # noqa: E402
 from nautilus_tpu.parallel import make_mesh  # noqa: E402
