@@ -46,9 +46,24 @@ def _shift_block_jit(pts, vec):
     return jnp.mod(pts + vec, 1.0)
 
 
-@jax.jit
-def _above_mask_jit(log_l, valid, log_l_min):
-    return valid & (log_l >= log_l_min)
+@partial(jax.jit, static_argnums=(3,))
+def _prefit_bound_jit(pts, log_l, valid, enlarge_per_dim, log_l_min):
+    """Fused bound-construction prologue: the above-threshold mask, its
+    count, the mode-finding MVEE fit, and the outer cube-ellipsoid greedy
+    descent, all in ONE dispatch. The host reads one packed vector
+    (n_above | ellipsoid fit | ucem fit) instead of paying three separate
+    ~30 ms round trips per bound."""
+    from .basic import ucem_greedy
+
+    d = pts.shape[1]
+    above = valid & (log_l >= log_l_min)
+    n_above = jnp.sum(above).astype(pts.dtype)
+    p = G.fit_ellipsoid(pts, above, jnp.ones(d, bool),
+                        enlarge_per_dim=enlarge_per_dim)
+    ell_vec = jnp.concatenate(
+        [p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+    ucem_vec = ucem_greedy(pts, above, enlarge_per_dim)
+    return jnp.concatenate([n_above[None], ell_vec, ucem_vec]), above
 
 
 class NautilusBound:
@@ -156,14 +171,26 @@ class NautilusBound:
         else:
             bound.shift = None
 
-        above = _above_mask_jit(log_l_dev, valid_dev,
-                                jnp.asarray(log_l_min, jnp.float32))
-        n_above = int(fetch(jnp.sum(above)))
+        from .basic import unpack_ell
+        packed, above = _prefit_bound_jit(
+            pts_dev, log_l_dev, valid_dev, float(enlarge_per_dim),
+            jnp.asarray(log_l_min, jnp.float32))
+        packed = fetch(packed, np.float64)
+        n_packed = d + 2 * d * d + 1
+        n_above = int(packed[0])
+        mode_params0 = unpack_ell(packed[1:1 + n_packed], d)
+        ucem_vec = packed[1 + n_packed:]
+        dim_cube = ucem_vec[-d:] > 0.5
+        outer_params0 = unpack_ell(ucem_vec[:-d], d, ~dim_cube, dim_cube)
+        if float(outer_params0.log_v) > 0:
+            # Rare: the greedy descent did not beat the unit cube; redo
+            # this member with the grow-from-empty search.
+            outer_params0 = None
 
         multi_ellipsoid = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
             n_points_min=n_points_min, bound_class=Ellipsoid,
-            keys=bound.keys)
+            keys=bound.keys, params0=mode_params0)
         while multi_ellipsoid.split(allow_overlap=False):
             pass
 
@@ -178,7 +205,8 @@ class NautilusBound:
         bound.outer_bound = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
             n_points_min=n_points_min,
-            bound_class=UnitCubeEllipsoidMixture, keys=bound.keys)
+            bound_class=UnitCubeEllipsoidMixture, keys=bound.keys,
+            params0=outer_params0)
 
         log_v_threshold = np.log(split_threshold * enlarge_per_dim ** d)
         while bound.outer_bound.log_v - log_v_target > log_v_threshold:

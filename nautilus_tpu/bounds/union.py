@@ -245,12 +245,15 @@ class Union:
     @classmethod
     def compute_masked(cls, pts_dev, mask_dev, n_points, enlarge_per_dim=1.1,
                        n_points_min=None, unit=True, bound_class=Ellipsoid,
-                       keys=None):
+                       keys=None, params0=None):
         """Build a union over a *device* point block selected by a mask.
 
         Device-block twin of :meth:`compute`: the point coordinates stay on
         device for the whole split/trim recursion; the host tracks only
-        member counts and the tiny fitted geometries.
+        member counts and the tiny fitted geometries. ``params0`` accepts a
+        pre-fitted root-member geometry (the bound builder fuses the fit
+        into one combined dispatch — see NautilusBound.compute_device) so
+        no extra device round trip happens here.
         """
         bound = cls()
         bound.n_dim = int(pts_dev.shape[1])
@@ -272,7 +275,8 @@ class Union:
         bound._member_masks = [mask_dev]
         bound._member_counts = [int(n_points)]
         bound.points_bounds = None
-        bound.params_list = [bound._fit_member_masked(mask_dev)]
+        bound.params_list = [params0 if params0 is not None
+                             else bound._fit_member_masked(mask_dev)]
         bound._refresh_bookkeeping()
         bound.block = np.atleast_1d(int(n_points) < 2 * bound.n_points_min)
         bound.points = np.zeros((0, bound.n_dim))

@@ -55,11 +55,6 @@ _contains_matrix_jit = jax.jit(bound_contains_matrix)
 _arena_transfer_split_jit = jax.jit(arena_transfer_split)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _slice_rows_jit(a, n_rows):
-    return a[:n_rows]
-
-
 @jax.jit
 def _pack_collect_meta(buf):
     """Counters + log_l + innermost-earlier-bound columns of a collection
@@ -70,9 +65,9 @@ def _pack_collect_meta(buf):
     return jnp.concatenate([buf[n_t, :4], buf[:n_t, d], buf[:n_t, d + 1]])
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _phase_log_l_rows(buf, n_rows):
-    return buf[:n_rows, buf.shape[1] - 1]
+@jax.jit
+def _phase_log_l_col(buf):
+    return buf[:, buf.shape[1] - 1]
 
 
 class Sampler:
@@ -953,15 +948,18 @@ class Sampler:
         # coordinates go straight from the phase buffer into the device
         # arena, so point payloads never cross the link.
         buf_dev, blob_devs, meta, n_used = out
-        meta, n_used = fetch_many(meta, n_used)
-        n_used = int(n_used)
+        # Single transfer: counters plus the full log-likelihood column
+        # and blob buffers (fetching everything costs one round trip; a
+        # second prefix fetch would double the latency bill).
+        fetched = fetch_many(meta, n_used, _phase_log_l_col(buf_dev),
+                             *blob_devs)
+        meta, n_used = fetched[0], int(fetched[1])
+        log_l_full = fetched[2].astype(np.float64)
+        blob_full = fetched[3:]
         if n_used > 0:
             n_rows = n_used * self.n_batch
-            fetched = fetch_many(
-                _phase_log_l_rows(buf_dev, n_rows),
-                *[_slice_rows_jit(b, n_rows) for b in blob_devs])
-            log_l_rows = fetched[0].astype(np.float64)
-            blob_bufs = fetched[1:]
+            log_l_rows = log_l_full[:n_rows]
+            blob_bufs = tuple(b[:n_rows] for b in blob_full)
             ids0 = self.arena.append_buf(buf_dev, n_rows)
         if n_used == 0:
             # Device stats judged the phase done but host stats disagreed
@@ -1108,9 +1106,15 @@ class Sampler:
             np.float32(f_live_target), self._batch_budget(n_like_max))
         pts_a, log_l_a, alive_a, shell_a, log_l_buf, blob_bufs, meta, \
             n_used = out
-        meta, n_used = fetch_many(meta, n_used)
-        meta = meta.astype(int)
-        n_used = int(n_used)
+        # One transfer for everything the host needs from this dispatch:
+        # fetching the full (max_batches x n_batch) log-likelihood buffer
+        # costs the same ~one round trip as fetching a prefix, and saves a
+        # second sync per call on high-latency links.
+        fetched = fetch_many(meta, n_used, log_l_buf, *blob_bufs)
+        meta = fetched[0].astype(int)
+        n_used = int(fetched[1])
+        log_l_full = fetched[2].astype(np.float64)
+        blob_full = fetched[3:]
 
         if n_used == 0:
             # Adopt the (unchanged) returned buffers: the dispatch donated
@@ -1128,11 +1132,8 @@ class Sampler:
             return
 
         n_rows = n_used * self.n_batch
-        fetched = fetch_many(
-            _slice_rows_jit(log_l_buf, n_rows),
-            *[_slice_rows_jit(b, n_rows) for b in blob_bufs])
-        log_l_rows = fetched[0].astype(np.float64)
-        blob_cols_all = fetched[1:]
+        log_l_rows = log_l_full[:n_rows]
+        blob_cols_all = tuple(b[:n_rows] for b in blob_full)
         ids0 = self.arena.adopt(pts_a, log_l_a, alive_a, shell_a, n_rows)
         self.timing['sample'] += time() - t_start
 
