@@ -102,13 +102,13 @@ def _drop_candidate_log_v(points, point_mask, c, a_inv, dim_mask):
     return jnp.where(dim_mask, log_v, jnp.inf)
 
 
-def ucem_greedy(points, point_mask, enlarge_per_dim):
+def ucem_greedy_params(points, point_mask, enlarge_per_dim):
     """The cube-ellipsoid mixture's greedy dimension-drop descent as one
     on-device loop: candidate volumes, argmin, trial refit, accept-if-
     smaller, repeat — one host round trip for the whole search instead of
     one per iteration (reference control flow:
     nautilus/bounds/basic.py:496-528). Pure and jittable; returns the
-    packed vector (c | B | B_inv | log_v | dim_cube)."""
+    fitted EllParams (``dim_cube`` set) plus the cube-dim flags."""
     d = points.shape[1]
 
     def fit(dim_mask):
@@ -137,6 +137,13 @@ def ucem_greedy(points, point_mask, enlarge_per_dim):
         return (p, dim_cube, ~better, it + 1)
 
     p, dim_cube, _, _ = jax.lax.while_loop(cond, body, state0)
+    return p._replace(dim_cube=dim_cube), dim_cube
+
+
+def ucem_greedy(points, point_mask, enlarge_per_dim):
+    """:func:`ucem_greedy_params` packed into one vector
+    (c | B | B_inv | log_v | dim_cube) for single-fetch host reads."""
+    p, dim_cube = ucem_greedy_params(points, point_mask, enlarge_per_dim)
     return jnp.concatenate([
         p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None],
         dim_cube.astype(points.dtype)])
@@ -358,8 +365,13 @@ class UnitCubeEllipsoidMixture:
     def dim_cube(self):
         return np.asarray(self.params.dim_cube)
 
-    def transform(self, points):
+    def transform(self, points, inverse=False):
+        """Map points into (or back out of) the mixture frame: cube dims
+        to [-1, 1), ellipsoid dims to the ellipsoid coordinate system
+        (reference: nautilus/bounds/basic.py:565-592)."""
         pts, n = pad_batch(points)
+        if inverse:
+            return fetch(_ell_transform_inv_jit(self.params, pts))[:n]
         return fetch(_ell_transform_jit(self.params, pts))[:n]
 
     def contains(self, points):

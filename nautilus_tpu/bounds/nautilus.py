@@ -18,12 +18,12 @@ from ..ops import geometry as G
 from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
     neural_contains_any
 from ..utils.bucket import bucket_size, pad_batch
-from ..utils.fetch import fetch, put_tree
+from ..utils.fetch import fetch, fetch_many, put_tree
 from ..utils.keys import KeyStream
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
 from .periodic import PhaseShift
-from .union import Union, _union_contains_jit
+from .union import Union, _union_contains_jit, ellipsoids_overlap
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -64,6 +64,85 @@ def _prefit_bound_jit(pts, log_l, valid, enlarge_per_dim, log_l_min):
         [p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
     ucem_vec = ucem_greedy(pts, above, enlarge_per_dim)
     return jnp.concatenate([n_above[None], ell_vec, ucem_vec]), above
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
+                        enlarge_per_dim, n_points_min):
+    """The whole data-independent prologue of bound construction in ONE
+    dispatch: above-threshold mask, mode-root MVEE fit, the *first*
+    mode-split attempt (GMM + both child fits; the common unimodal case
+    resolves mode finding right here), the outer cube-ellipsoid greedy
+    descent, and the MC volume counters of the single-member outer union.
+
+    On a ~27 ms-per-round-trip link the serial version of this chain costs
+    four fetches per bound (prefit, split attempt, outer log_v seeding,
+    plus counters); fusing it leaves a single fetch and lets the device
+    pipeline all the geometry work while the host waits once. The child
+    membership masks stay on device for the multimodal continuation; the
+    mode-root EllParams is returned device-resident so the speculative
+    fused neural build can start before the host sees anything.
+
+    Packed layout: [n_above | mode fit (d+2d^2+1) | child0 | child1 |
+    counts (2) | ucem fit (d+2d^2+1+d) | mc counters (2)].
+    """
+    from .basic import ucem_greedy_params
+    from .union import _gmm_labels
+
+    d = pts.shape[1]
+    f32 = pts.dtype
+    dim_mask = jnp.ones(d, bool)
+    above = valid & (log_l >= log_l_min)
+    n_above = jnp.sum(above).astype(f32)
+
+    p_mode = G.fit_ellipsoid(pts, above, dim_mask,
+                             enlarge_per_dim=enlarge_per_dim)
+    mode_vec = jnp.concatenate(
+        [p_mode.c, p_mode.B.reshape(-1), p_mode.B_inv.reshape(-1),
+         p_mode.log_v[None]])
+
+    # First mode-split attempt (same math as _split_ellipsoid_masked_jit;
+    # reference control flow: nautilus/bounds/union.py:183-213).
+    labels = _gmm_labels(p_mode, pts, above, key_split, n_points_min)
+    masks = jnp.stack([above & (labels == 0), above & (labels == 1)])
+
+    def fit(m):
+        p = G.fit_ellipsoid(pts, m, dim_mask,
+                            enlarge_per_dim=enlarge_per_dim)
+        return jnp.concatenate([
+            p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
+
+    child_vec = jax.vmap(fit)(masks).reshape(-1)
+    counts = jnp.sum(masks, axis=1).astype(f32)
+
+    # Outer envelope root + MC volume counters for its one-member union
+    # (seeds Union.log_v without a separate dispatch).
+    p_outer, dim_cube = ucem_greedy_params(pts, above, enlarge_per_dim)
+    ucem_vec = jnp.concatenate(
+        [p_outer.c, p_outer.B.reshape(-1), p_outer.B_inv.reshape(-1),
+         p_outer.log_v[None], dim_cube.astype(f32)])
+
+    stacked = jax.tree.map(lambda a: a[None], p_outer)
+    one_mask = jnp.ones(1, bool)
+
+    def mc_cond(state):
+        return (state[1] < 100) & (state[2] < 256)
+
+    def mc_body(state):
+        n_tot, n_acc, it = state
+        sub = jax.random.fold_in(key_mc, it)
+        _, accept = G.union_sample_batch(
+            stacked, one_mask, sub, 1024, unit=True)
+        return (n_tot + 1024,
+                n_acc + jnp.sum(accept.astype(jnp.int32)), it + 1)
+
+    zero = jnp.asarray(0, jnp.int32)
+    mc = jax.lax.while_loop(mc_cond, mc_body, (zero, zero, zero))
+
+    packed = jnp.concatenate([
+        n_above[None], mode_vec, child_vec, counts, ucem_vec,
+        jnp.stack(mc[:2]).astype(f32)])
+    return packed, above, masks[0], masks[1], p_mode
 
 
 class NautilusBound:
@@ -143,12 +222,18 @@ class NautilusBound:
         bound.n_reject = 0
         return bound
 
+    # Largest device block the speculative neural build accepts: beyond
+    # this, training on the uncompacted block would outgrow the compacted
+    # builder's compute, so speculation is skipped and the serial
+    # mode-select + compact path runs instead.
+    SPEC_MAX_BLOCK = 4096
+
     @classmethod
     def compute_device(cls, pts_dev, log_l_dev, valid_dev,
                        log_l_min, log_v_target, enlarge_per_dim=1.1,
                        n_points_min=None, split_threshold=100, periodic=None,
                        n_networks=4, neural_network_kwargs=None, keys=None,
-                       points_above=None):
+                       points_above=None, expect_modes=1):
         """Device-block twin of :meth:`compute`.
 
         Consumes a compact device point block (typically the sampler's
@@ -158,6 +243,15 @@ class NautilusBound:
         geometries and counters. ``points_above`` (host rows of the
         above-threshold subset) is required only when ``periodic`` is set —
         the phase-shift centering is a cheap host computation.
+
+        Latency structure: one fused prologue dispatch computes the root
+        fits, the first mode-split attempt, and the outer-root MC volume
+        counters; when ``expect_modes <= 1`` (the previous bound was
+        unimodal) the full neural build is dispatched speculatively on the
+        root mode before the prologue is fetched, so the typical unimodal
+        bound costs ONE combined fetch — against four-plus serial fetches
+        in the naive ordering (reference per-step control flow:
+        nautilus/bounds/nautilus.py:39-144).
         """
         bound = cls()
         bound.n_dim = d = int(pts_dev.shape[1])
@@ -172,14 +266,45 @@ class NautilusBound:
             bound.shift = None
 
         from .basic import unpack_ell
-        packed, above = _prefit_bound_jit(
-            pts_dev, log_l_dev, valid_dev, float(enlarge_per_dim),
-            jnp.asarray(log_l_min, jnp.float32))
-        packed = fetch(packed, np.float64)
+        npm = int(n_points_min) if n_points_min is not None else d + 1
+        packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(
+            pts_dev, log_l_dev, valid_dev,
+            jnp.asarray(log_l_min, jnp.float32), bound.keys.next(),
+            bound.keys.next(), float(enlarge_per_dim), npm)
+
+        # Speculative fused neural build on the root mode, dispatched
+        # before any fetch; training compute overlaps the link round trip.
+        spec = None
+        if (n_networks > 0 and expect_modes <= 1 and
+                int(pts_dev.shape[0]) <= cls.SPEC_MAX_BLOCK):
+            cfg = NeuralBound._build_config(d, neural_network_kwargs)
+            ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
+            spec = NeuralBound.dispatch_build(
+                pts_dev, log_l_dev, above, valid_dev, ell1,
+                np.ones(1, bool), 1, bound.keys, n_networks, cfg,
+                enlarge_per_dim)
+
+        if spec is not None:
+            packed, spec_small = fetch_many(packed_dev, spec[0])
+            packed = packed.astype(np.float64)
+        else:
+            packed = fetch(packed_dev, np.float64)
+
         n_packed = d + 2 * d * d + 1
         n_above = int(packed[0])
-        mode_params0 = unpack_ell(packed[1:1 + n_packed], d)
-        ucem_vec = packed[1 + n_packed:]
+        off = 1
+        mode_params0 = unpack_ell(packed[off:off + n_packed], d)
+        off += n_packed
+        child_params = [
+            unpack_ell(packed[off + i * n_packed:
+                              off + (i + 1) * n_packed], d)
+            for i in range(2)]
+        off += 2 * n_packed
+        child_counts = packed[off:off + 2].astype(int)
+        off += 2
+        ucem_vec = packed[off:off + n_packed + d]
+        off += n_packed + d
+        mc_tot, mc_acc = packed[off:off + 2].astype(int)
         dim_cube = ucem_vec[-d:] > 0.5
         outer_params0 = unpack_ell(ucem_vec[:-d], d, ~dim_cube, dim_cube)
         if float(outer_params0.log_v) > 0:
@@ -187,26 +312,52 @@ class NautilusBound:
             # this member with the grow-from-empty search.
             outer_params0 = None
 
+        # Mode finding: resolve the prologue's first split attempt with
+        # the exact rules Union.split applies (blocked root, overlap veto,
+        # volume-must-shrink; reference: nautilus/bounds/union.py:195-213),
+        # then continue the serial masked split loop only if it succeeded.
         multi_ellipsoid = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
             n_points_min=n_points_min, bound_class=Ellipsoid,
             keys=bound.keys, params0=mode_params0)
-        while multi_ellipsoid.split(allow_overlap=False):
-            pass
+        from scipy.special import logsumexp
+        split_ok = (
+            not bool(multi_ellipsoid.block[0]) and
+            not ellipsoids_overlap(child_params) and
+            logsumexp([float(p.log_v) for p in child_params]) <=
+            float(mode_params0.log_v))
+        if split_ok:
+            multi_ellipsoid._adopt_first_split(
+                child_params, [m0, m1], child_counts)
+            while multi_ellipsoid.split(allow_overlap=False):
+                pass
 
-        bound.neural_bounds, bound.neural_flat = \
-            NeuralBound.compute_batched_device(
-                pts_dev, log_l_dev, valid_dev, above,
-                multi_ellipsoid.params_list,
-                enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
-                neural_network_kwargs=neural_network_kwargs,
-                keys=bound.keys)
+        if spec is not None and not split_ok:
+            # Mode finding stayed unimodal: the speculative build is the
+            # real build.
+            bound.neural_bounds = NeuralBound.finish_build(
+                spec_small.astype(np.float64), spec[1], 1, d, cfg,
+                n_networks, bound.keys)
+            bound.neural_flat = spec[1]
+        else:
+            bound.neural_bounds, bound.neural_flat = \
+                NeuralBound.compute_batched_device(
+                    pts_dev, log_l_dev, valid_dev, above,
+                    multi_ellipsoid.params_list,
+                    enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
+                    neural_network_kwargs=neural_network_kwargs,
+                    keys=bound.keys)
 
         bound.outer_bound = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
             n_points_min=n_points_min,
             bound_class=UnitCubeEllipsoidMixture, keys=bound.keys,
             params0=outer_params0)
+        if outer_params0 is not None:
+            # Seed the MC volume estimate from the prologue's counters —
+            # the split-until decision below reads log_v for free.
+            bound.outer_bound.n_sample += int(mc_tot)
+            bound.outer_bound.n_reject += int(mc_tot - mc_acc)
 
         log_v_threshold = np.log(split_threshold * enlarge_per_dim ** d)
         while bound.outer_bound.log_v - log_v_target > log_v_threshold:

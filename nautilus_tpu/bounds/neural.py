@@ -282,25 +282,53 @@ class NeuralBound:
 
         ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
 
+        cfg = cls._build_config(d, neural_network_kwargs)
+        small, flat = cls.dispatch_build(
+            pts_pad, jnp.asarray(log_l_pad), jnp.asarray(above), valid,
+            ell_stacked, mode_mask, m_pad, keys, n_networks, cfg,
+            enlarge_per_dim)
+        small = fetch(small, np.float64)
+        return cls.finish_build(
+            small, flat, m, d, cfg, n_networks, keys), flat
+
+    @classmethod
+    def _build_config(cls, d, neural_network_kwargs):
+        """Resolve the builder's training hyperparameters (sklearn-kwarg
+        compatible; reference: nautilus/neural.py:79-88)."""
         kwargs = dict(neural_network_kwargs or {})
         kwargs.pop('random_state', None)
         from ..neural import DEFAULT_HIDDEN
         hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
-        lr = float(kwargs.pop('learning_rate_init', 1e-2))
-        max_epochs = int(kwargs.pop('max_iter', 3000))
-        n_iter_no_change = int(kwargs.pop('n_iter_no_change', 10))
-        batch_size = int(kwargs.pop('batch_size', 200))
-        sizes = (d,) + hidden + (1,)
+        return dict(
+            hidden=hidden,
+            sizes=(d,) + hidden + (1,),
+            lr=float(kwargs.pop('learning_rate_init', 1e-2)),
+            max_epochs=int(kwargs.pop('max_iter', 3000)),
+            n_iter_no_change=int(kwargs.pop('n_iter_no_change', 10)),
+            batch_size=int(kwargs.pop('batch_size', 200)))
 
+    @classmethod
+    def dispatch_build(cls, pts, log_l, above, valid, ell_stacked, mode_mask,
+                       m_pad, keys, n_networks, cfg, enlarge_per_dim):
+        """Dispatch the fused builder WITHOUT fetching.
+
+        Returns the (small, flat) device futures; callers merge the tiny
+        ``small`` summary into a later combined fetch (see
+        NautilusBound.compute_device's speculative build) and keep ``flat``
+        on device for the run-level bound stack.
+        """
         mode_keys = keys.next_n(m_pad)
-        small, flat = _batched_build_jit(
-            pts_pad, jnp.asarray(log_l_pad), jnp.asarray(above), valid,
-            ell_stacked, jnp.asarray(mode_mask), mode_keys,
-            sizes=sizes, n_networks=n_networks, batch_size=batch_size,
-            max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
-            lr=lr, enlarge_per_dim=float(enlarge_per_dim))
-        small = fetch(small, np.float64)
+        return _batched_build_jit(
+            pts, log_l, above, valid, ell_stacked, jnp.asarray(mode_mask),
+            mode_keys, sizes=cfg['sizes'], n_networks=n_networks,
+            batch_size=cfg['batch_size'], max_epochs=cfg['max_epochs'],
+            n_iter_no_change=cfg['n_iter_no_change'], lr=cfg['lr'],
+            enlarge_per_dim=float(enlarge_per_dim))
 
+    @classmethod
+    def finish_build(cls, small, flat, m, d, cfg, n_networks, keys):
+        """Construct the NeuralBound objects from a fetched ``small``
+        summary (rows: packed ellipsoid | mean | scale | cut)."""
         from ..neural import NeuralNetworkEmulator
         n_packed = d + 2 * d * d + 1
         bounds = []
@@ -308,12 +336,12 @@ class NeuralBound:
             row = small[i]
             emulator = NeuralNetworkEmulator()
             emulator.n_networks = n_networks
-            emulator.hidden_layer_sizes = hidden
+            emulator.hidden_layer_sizes = cfg['hidden']
             emulator.mean = row[n_packed:n_packed + d]
             emulator.scale = row[n_packed + d:n_packed + 2 * d]
             # Trained weights stay on device; fetched lazily only for
             # checkpoint writes or standalone host prediction.
-            emulator.set_flat_device(flat[i], sizes)
+            emulator.set_flat_device(flat[i], cfg['sizes'])
 
             bound = cls()
             bound.n_dim = d
@@ -324,7 +352,7 @@ class NeuralBound:
             bound.emulator = emulator
             bound.score_predict_min = float(row[n_packed + 2 * d])
             bounds.append(bound)
-        return bounds, flat
+        return bounds
 
     @classmethod
     def compute_batched_device(cls, pts_dev, log_l_dev, valid_dev, above_dev,
@@ -375,46 +403,13 @@ class NeuralBound:
                 out.append(bound)
             return out, None
 
-        kwargs = dict(neural_network_kwargs or {})
-        kwargs.pop('random_state', None)
-        from ..neural import DEFAULT_HIDDEN, NeuralNetworkEmulator
-        hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
-        lr = float(kwargs.pop('learning_rate_init', 1e-2))
-        max_epochs = int(kwargs.pop('max_iter', 3000))
-        n_iter_no_change = int(kwargs.pop('n_iter_no_change', 10))
-        batch_size = int(kwargs.pop('batch_size', 200))
-        sizes = (d,) + hidden + (1,)
-
-        mode_keys = keys.next_n(m_pad)
-        small, flat = _batched_build_jit(
-            pts_c, log_l_c, above_c, valid_c,
-            ell_stacked, jnp.asarray(mode_mask), mode_keys,
-            sizes=sizes, n_networks=n_networks, batch_size=batch_size,
-            max_epochs=max_epochs, n_iter_no_change=n_iter_no_change,
-            lr=lr, enlarge_per_dim=float(enlarge_per_dim))
+        cfg = cls._build_config(d, neural_network_kwargs)
+        small, flat = cls.dispatch_build(
+            pts_c, log_l_c, above_c, valid_c, ell_stacked, mode_mask,
+            m_pad, keys, n_networks, cfg, enlarge_per_dim)
         small = fetch(small, np.float64)
-
-        n_packed = d + 2 * d * d + 1
-        bounds = []
-        for i in range(m):
-            row = small[i]
-            emulator = NeuralNetworkEmulator()
-            emulator.n_networks = n_networks
-            emulator.hidden_layer_sizes = hidden
-            emulator.mean = row[n_packed:n_packed + d]
-            emulator.scale = row[n_packed + d:n_packed + 2 * d]
-            emulator.set_flat_device(flat[i], sizes)
-
-            bound = cls()
-            bound.n_dim = d
-            bound.outer_bound = Ellipsoid()
-            bound.outer_bound.n_dim = d
-            bound.outer_bound.keys = keys
-            bound.outer_bound.params = unpack_ell(row[:n_packed], d)
-            bound.emulator = emulator
-            bound.score_predict_min = float(row[n_packed + 2 * d])
-            bounds.append(bound)
-        return bounds, flat
+        return cls.finish_build(
+            small, flat, m, d, cfg, n_networks, keys), flat
 
     def contains(self, points):
         points = np.atleast_2d(np.asarray(points))
@@ -425,6 +420,12 @@ class NeuralBound:
                 self.emulator.predict(points_t[in_bound]) >
                 self.score_predict_min - 1e-9)
         return in_bound
+
+    def reset(self, keys=None):
+        """Reset the sampling state (API parity: every reference bound
+        exposes ``reset``; the neural bound holds no sample cache, so only
+        the key stream is replaced)."""
+        self.outer_bound.reset(keys)
 
     def write(self, group):
         group.attrs['n_dim'] = self.n_dim

@@ -457,6 +457,24 @@ class Union:
         self.reset()
         return True
 
+    def _adopt_first_split(self, child_params, child_masks, child_counts):
+        """Install an externally computed split of the (single) root member.
+
+        The fused bound prologue (see bounds/nautilus.py:_bound_prologue_jit)
+        performs the first split attempt's GMM + child fits on device in the
+        same dispatch as the root fits; when the host accepts that split,
+        this applies the exact state mutation :meth:`split` would have.
+        Masked (device-block) mode only.
+        """
+        assert self._masked and len(self.params_list) == 1
+        self._member_masks = list(child_masks)
+        self._member_counts = [int(c) for c in child_counts]
+        self.params_list = list(child_params)
+        self.block = np.array([int(c) < 2 * self.n_points_min
+                               for c in child_counts])
+        self._refresh_bookkeeping()
+        self.reset()
+
     def trim(self, threshold=1e3):
         """Drop the lowest-density member if it is an extreme outlier.
 

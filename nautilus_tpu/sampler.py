@@ -17,6 +17,7 @@ except ImportError:  # pragma: no cover
     h5py = None
 import numpy as np
 
+from collections import OrderedDict
 from functools import partial
 from pathlib import Path
 from scipy.special import logsumexp
@@ -46,7 +47,11 @@ from .utils.keys import KeyStream
 # Compiled phase callables shared across Sampler instances with identical
 # (likelihood, prior, batching) configuration — repeat runs in one process
 # reuse loaded executables instead of re-tracing (see _step_cache_key).
-_STEP_FN_CACHE = {}
+# LRU-bounded: entries hold strong references to likelihood closures, mesh
+# objects, and loaded executables, so an unbounded cache would leak
+# compiled programs in long-lived processes that build many samplers.
+_STEP_FN_CACHE = OrderedDict()
+_STEP_FN_CACHE_MAX = 8
 
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
     mc_volume_counters)
@@ -307,8 +312,9 @@ class Sampler:
             elif self.vectorized == 'jax':
                 # Device path: the whole fill-or-argmax decision loop runs
                 # on device, one round trip per PHASE_MAX_BATCHES batches.
-                self._sampling_phase_device(n_shell, n_eff, n_like_max,
-                                            verbose=verbose)
+                if not self._sampling_phase_device(
+                        n_shell, n_eff, n_like_max, verbose=verbose):
+                    break
 
             elif np.any(self._unfilled_shells(n_shell)):
                 shell = np.flatnonzero(self._unfilled_shells(n_shell))[0]
@@ -317,11 +323,12 @@ class Sampler:
                     self.write_shell_update(self.filepath, shell)
 
             elif self.n_eff < n_eff:
-                crit = (self.shell_log_l + self.shell_log_v -
-                        0.5 * np.log(self.shell_n) -
-                        0.5 * np.log(self.shell_n_eff))
-                for starved in self._starved:
-                    crit[starved] = -np.inf
+                crit = self._shell_criterion()
+                if not np.any(crit > -np.inf):
+                    warn('All shells are starved; stopping the sampling '
+                         'phase before reaching the effective sample size '
+                         'target.', RuntimeWarning, stacklevel=2)
+                    break
                 shell = np.argmax(crit)
                 self.add_samples(shell, verbose=verbose)
                 if self.filepath is not None:
@@ -344,6 +351,18 @@ class Sampler:
         for shell in self._starved:
             need[shell] = False
         return need
+
+    def _shell_criterion(self):
+        """Variance-reduction targeting criterion per shell (reference:
+        nautilus/sampler.py:488-494), with starved shells masked out."""
+        with np.errstate(divide='ignore', invalid='ignore'):
+            crit = (self.shell_log_l + self.shell_log_v -
+                    0.5 * np.log(self.shell_n) -
+                    0.5 * np.log(self.shell_n_eff))
+        crit[~np.isfinite(crit)] = -np.inf
+        for starved in self._starved:
+            crit[starved] = -np.inf
+        return crit
 
     @property
     def evals_per_second(self):
@@ -421,6 +440,10 @@ class Sampler:
                         all_pts = self.arena.rows(np.concatenate(self.idx))
                         all_log_l = np.concatenate(self.log_l)
                         points_above = all_pts[all_log_l >= log_l_min]
+                    prev = self.bounds[-1]
+                    expect_modes = (max(len(prev.neural_bounds), 1)
+                                    if isinstance(prev, NautilusBound)
+                                    else 1)
                     bound = NautilusBound.compute_device(
                         blk_pts, blk_log_l, blk_valid, log_l_min,
                         self.log_v_live,
@@ -430,7 +453,8 @@ class Sampler:
                         periodic=self.periodic,
                         n_networks=self.n_networks,
                         neural_network_kwargs=self.neural_network_kwargs,
-                        keys=self.keys, points_above=points_above)
+                        keys=self.keys, points_above=points_above,
+                        expect_modes=expect_modes)
                 else:
                     log_l_cat = np.concatenate(self.log_l)
                     points = self.arena.rows(np.concatenate(self.idx))[
@@ -822,7 +846,11 @@ class Sampler:
             if self._local_step_fns is None:
                 self._local_step_fns = {}
             return self._local_step_fns
-        return _STEP_FN_CACHE.setdefault(key, {})
+        fns = _STEP_FN_CACHE.setdefault(key, {})
+        _STEP_FN_CACHE.move_to_end(key)
+        while len(_STEP_FN_CACHE) > _STEP_FN_CACHE_MAX:
+            _STEP_FN_CACHE.popitem(last=False)
+        return fns
 
     def _fused_step(self, need_member=True):
         """One compiled program per ``add_samples`` call: the whole
@@ -872,11 +900,12 @@ class Sampler:
 
             @jax.jit
             def phase(stack, key, shell_n, shell_ns, m1, s1, m2, s2,
-                      bound_log_v, n_shell_min, n_eff_target, n_budget):
+                      bound_log_v, blocked, n_shell_min, n_eff_target,
+                      n_budget):
                 return sampling_phase(
                     stack, key, shell_n, shell_ns, m1, s1, m2, s2,
-                    bound_log_v, n_batch, chunk, n_shell_min, n_eff_target,
-                    max_batches, eval_fn, max_iters=max_iters,
+                    bound_log_v, blocked, n_batch, chunk, n_shell_min,
+                    n_eff_target, max_batches, eval_fn, max_iters=max_iters,
                     n_budget=n_budget, shard_fn=shard_fn)
 
             fns['phase'] = phase
@@ -923,12 +952,16 @@ class Sampler:
         m2 = np.full(b_pad, -1e30, np.float32)
         s2 = np.zeros(b_pad, np.float32)
         bound_log_v = np.full(b_pad, -np.inf, np.float32)
+        blocked = np.zeros(b_pad, bool)
+        for shell in self._starved:
+            # Starved shells are excluded from both device targeting rules
+            # (fill and variance argmax) inside the compiled phase; their
+            # true counts stay in host state.
+            blocked[shell] = True
         for i in range(n_bounds):
             ll = self.log_l[i][starts[i]:]
             shell_n[i] = len(ll)
             if i in self._starved:
-                # A starved shell reports itself as filled so the device
-                # fill rule skips it (its true counts stay in host state).
                 shell_n[i] = max(shell_n[i], int(n_shell))
             shell_ns[i] = ns_adj[i]
             bound_log_v[i] = self.bounds[i].log_v
@@ -941,8 +974,8 @@ class Sampler:
 
         out = self._phase_step()(
             stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
-            bound_log_v, np.int32(n_shell), np.float32(n_eff_target),
-            self._batch_budget(n_like_max))
+            bound_log_v, blocked, np.int32(n_shell),
+            np.float32(n_eff_target), self._batch_budget(n_like_max))
         # Two-step fetch: metadata first (tiny), then only the
         # log-likelihoods of the rows the phase actually filled — the
         # coordinates go straight from the phase buffer into the device
@@ -963,21 +996,24 @@ class Sampler:
             ids0 = self.arena.append_buf(buf_dev, n_rows)
         if n_used == 0:
             # Device stats judged the phase done but host stats disagreed
-            # (f32 vs f64 rounding near the threshold): fall back to one
-            # host-driven batch so the run loop always progresses.
+            # (f32 vs f64 rounding near the threshold), or every targetable
+            # shell is starved: fall back to one host-driven batch so the
+            # run loop always progresses, or report no-progress so the run
+            # stops instead of livelocking.
             if np.any(self._unfilled_shells(n_shell)):
                 shell = int(np.flatnonzero(self._unfilled_shells(n_shell))[0])
             else:
-                crit = (self.shell_log_l + self.shell_log_v -
-                        0.5 * np.log(self.shell_n) -
-                        0.5 * np.log(self.shell_n_eff))
-                for starved in self._starved:
-                    crit[starved] = -np.inf
+                crit = self._shell_criterion()
+                if not np.any(crit > -np.inf):
+                    warn('All shells are starved; stopping the sampling '
+                         'phase before reaching the effective sample size '
+                         'target.', RuntimeWarning, stacklevel=2)
+                    return False
                 shell = int(np.argmax(crit))
             self.add_samples(shell, verbose=verbose)
             if self.filepath is not None:
                 self.write_shell_update(self.filepath, shell)
-            return
+            return True
 
         meta = np.asarray(meta, int)
         self.timing['sample'] += time() - t_start
@@ -1011,16 +1047,21 @@ class Sampler:
             self.update_shell_info(shell)
             if self.filepath is not None:
                 self.write_shell_update(self.filepath, int(shell))
-        if meta[n_used - 1, 4] < self.n_batch:
+        n_kept_last = int(meta[n_used - 1, 4])
+        if n_kept_last < self.n_batch:
             # Starved batch: everything delivered was committed above;
-            # stop targeting this shell rather than aborting the run.
+            # kill the undelivered tail rows of the arena append (they
+            # hold zero coordinates and belong to no shell) and stop
+            # targeting this shell rather than aborting the run.
+            self.arena.kill(ids0[(n_used - 1) * self.n_batch + n_kept_last:])
             shell = int(meta[n_used - 1, 0])
             self._starved.add(shell)
             warn('Shell {} delivered only {} of {} points within the '
                  'candidate budget; it will no longer be targeted for '
                  'additional samples.'.format(
-                     shell, int(meta[n_used - 1, 4]), self.n_batch),
+                     shell, n_kept_last, self.n_batch),
                  RuntimeWarning, stacklevel=2)
+        return True
 
     def _explore_phase_step(self):
         """Compiled exploration-phase driver (see
@@ -1457,6 +1498,59 @@ class Sampler:
 
         return n_fresh_above
 
+    def sample_shell(self, index, shell_t=None):
+        """Sample one batch of points uniformly from a shell.
+
+        Public API parity with the reference (reference:
+        nautilus/sampler.py:751-830): returns ``(points, n_bound)`` — the
+        shell points and the number of draws delivered by bound ``index``
+        — plus, when ``shell_t`` (an array of transfer-candidate shell
+        associations, modified in place) is given, the indices of transfer
+        candidates to substitute. Internally the whole rejection loop runs
+        as one fused device program; this wrapper fetches the coordinates
+        for host callers. The sampler's own batch collection uses the
+        arena-resident variant (:meth:`_add_samples_device`) instead.
+        """
+        if shell_t is not None and index not in [-1, len(self.bounds) - 1]:
+            raise ValueError("'shell_t' must be empty list if not sampling "
+                             "from the last bound/shell.")
+        idx = index if index >= 0 else len(self.bounds) - 1
+        stack = self._ensure_stack()
+        out = self._fused_step(True)(stack, idx, self.keys.next())
+        packed = fetch(out[0], np.float64)
+        d = self.n_dim
+        n_cand, n_outer, n_self, n_iter = \
+            packed[self.n_batch, :4].astype(int)
+        points = packed[:self.n_batch, :d]
+        shell_p = packed[:self.n_batch, d + 1].astype(int)
+
+        if idx > 0:
+            bound = self.bounds[idx]
+            bound.outer_bound.n_sample += int(n_cand)
+            bound.outer_bound.n_reject += int(n_cand - n_outer)
+            bound.n_sample += int(n_outer)
+            bound.n_reject += int(n_outer - n_self)
+
+        idx_t = np.zeros(0, dtype=int)
+        if shell_t is not None and len(shell_t) > 0:
+            replace = np.zeros(len(points), dtype=bool)
+            for shell in range(len(self.bounds) - 1):
+                idx_1 = np.flatnonzero(shell_t == shell)
+                idx_2 = np.flatnonzero(shell_p == shell)
+                n_sub = min(len(idx_1), len(idx_2))
+                if n_sub > 0:
+                    chosen = self.rng.choice(
+                        idx_1, size=n_sub, replace=False)
+                    idx_t = np.append(idx_t, chosen)
+                    shell_t[chosen] = -1
+                    replace[self.rng.choice(
+                        idx_2, size=n_sub, replace=False)] = True
+            points = points[~replace]
+
+        if shell_t is None:
+            return points, int(n_self)
+        return points, int(n_self), idx_t
+
     def update_shell_info(self, index):
         """Recompute per-shell statistics.
 
@@ -1592,11 +1686,9 @@ class Sampler:
     @property
     def eta(self):
         """Asymptotic sampling efficiency (reference: sampler.py:710-730)."""
-        shell_log_z = self.shell_log_l + self.shell_log_v
-        shell_eta = self.shell_n_eff / self.shell_n
-        select = ~np.isnan(self.shell_log_l)
-        shell_log_z = shell_log_z[select]
-        shell_eta = shell_eta[select]
+        select = ~np.isnan(self.shell_log_l) & (self.shell_n > 0)
+        shell_log_z = (self.shell_log_l + self.shell_log_v)[select]
+        shell_eta = self.shell_n_eff[select] / self.shell_n[select]
         return np.exp(2 * logsumexp(shell_log_z) - 2 * logsumexp(
             shell_log_z - 0.5 * np.log(shell_eta)))
 
@@ -1735,6 +1827,10 @@ class Sampler:
         group.attrs['vectorized'] = (
             'jax' if self.vectorized == 'jax' else bool(self.vectorized))
         group.attrs['pass_dict'] = self.pass_dict
+        # Starved-shell set: a resumed run must keep skipping these shells
+        # or it would re-pay the full candidate budget and diverge from the
+        # uninterrupted run.
+        group.attrs['starved'] = np.array(sorted(self._starved), dtype=int)
 
         for shell in range(len(self.bounds)):
             group.create_dataset(
@@ -1812,6 +1908,7 @@ class Sampler:
                     'shell_log_l_min', 'shell_log_l', 'shell_log_v',
                     'n_update_iter', 'n_like_iter']:
             group.attrs[key] = getattr(self, key)
+        group.attrs['starved'] = np.array(sorted(self._starved), dtype=int)
 
         points = self._points(shell)
         group['points_{}'.format(shell)].resize(points.shape)
@@ -1847,6 +1944,8 @@ class Sampler:
                         'shell_n_sample_exp', 'shell_end_exp',
                         'n_update_iter', 'n_like_iter']:
                 setattr(self, key, group.attrs[key])
+            self._starved = set(
+                int(s) for s in group.attrs.get('starved', []))
 
             points_lists = []
             idx_lists = []

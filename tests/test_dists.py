@@ -34,16 +34,58 @@ def test_device_ppf_matches_scipy(dist):
     assert np.allclose(got, want, atol=5e-4 * np.max(scale), rtol=5e-4)
 
 
-def test_host_callback_fallback():
-    # An unrecognized family must route through the io_callback path and
-    # still match scipy exactly (it IS scipy, called from inside jit).
+@pytest.mark.parametrize('dist', [
+    __import__('scipy.stats', fromlist=['triang']).triang(
+        0.3, loc=-1.0, scale=2.0),
+    __import__('scipy.stats', fromlist=['weibull_min']).weibull_min(
+        1.7, loc=0.5, scale=2.0),
+    __import__('scipy.stats', fromlist=['t']).t(
+        4.0, loc=-0.5, scale=1.5),
+])
+def test_tabulated_exotic_ppf(dist):
+    # Unrecognized families run on device via tabulated monotone
+    # interpolation of their isf — NO host callback in the program, so
+    # the fused path works on backends without callback support
+    # (reference semantics: nautilus/prior.py:117).
+    import jax
+    u = np.linspace(0.001, 0.999, 997)
+    transform = make_prior_transform([dist])
+    got = np.asarray(
+        jax.jit(transform)(jnp.asarray(u[:, None], jnp.float32)))[:, 0]
+    want = dist.isf(1.0 - u)
+    scale = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / scale) < 1e-5
+
+
+def test_host_callback_fallback(monkeypatch):
+    # With NAUTILUS_TPU_ISF_CALLBACK=1 an unrecognized family routes
+    # through the io_callback path and matches scipy exactly (it IS
+    # scipy, called from inside jit).
     from scipy.stats import triang
+    monkeypatch.setenv('NAUTILUS_TPU_ISF_CALLBACK', '1')
     dist = triang(0.3, loc=-1.0, scale=2.0)
     u = np.linspace(0.01, 0.99, 21)
     transform = make_prior_transform([dist])
     got = np.asarray(transform(jnp.asarray(u[:, None], jnp.float32)))[:, 0]
     want = dist.isf(1.0 - u)
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_exotic_prior_device_run():
+    # A triang-prior model runs end-to-end on the fully fused device path
+    # (the flagship vectorized='jax' mode) with no callback anywhere.
+    from scipy.stats import triang
+
+    def likelihood(x):
+        return -0.5 * jnp.sum(((x - 0.2) / 0.3) ** 2, axis=-1)
+
+    prior = Prior()
+    prior.add_parameter('a', dist=triang(0.5, loc=-1.0, scale=2.0))
+    prior.add_parameter('b', dist=triang(0.5, loc=-1.0, scale=2.0))
+    sampler = Sampler(prior, likelihood, n_live=200, seed=11,
+                      vectorized='jax', pass_dict=False)
+    assert sampler.run(f_live=0.2, n_eff=400)
+    assert np.isfinite(sampler.log_z)
 
 
 def test_mixed_prior_transform():

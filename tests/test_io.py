@@ -124,6 +124,58 @@ def test_sampler_checkpoint_resume(tmp_path):
     assert np.all(l1 == l2)
 
 
+def test_starved_checkpoint_resume(tmp_path):
+    # A run that starved a shell must checkpoint the starved set: a
+    # resumed run that forgot it would re-target the shell, re-pay the
+    # candidate budget, and diverge from the uninterrupted continuation.
+    import warnings
+
+    path = str(tmp_path / 'run.hdf5')
+
+    def make(resume):
+        prior = Prior()
+        prior.add_parameter('a')
+        prior.add_parameter('b')
+
+        def likelihood(x):
+            return -0.5 * jnp.sum(((x - 0.5) / 0.02) ** 2, axis=-1)
+
+        return Sampler(prior, likelihood, n_live=120, n_networks=2, seed=3,
+                       vectorized='jax', n_batch=2048, filepath=path,
+                       resume=resume)
+
+    s1 = make(resume=False)
+    assert s1.run(f_live=0.05, n_eff=0)
+    # Tighten the candidate budget so sampling-phase batches starve.
+    s1.MAX_COLLECT_ITERS = 1
+    s1.PHASE_MAX_BATCHES = 2
+    with pytest.warns(RuntimeWarning, match='no longer be targeted'):
+        s1.run(n_eff=10 ** 9, n_like_max=s1.n_like + 3000)
+    assert len(s1._starved) > 0
+    s1.write(path, overwrite=True)
+
+    s2 = make(resume=True)
+    assert s2._starved == s1._starved
+    s2.MAX_COLLECT_ITERS = 1
+    s2.PHASE_MAX_BATCHES = 2
+
+    # Continue both from the identical checkpointed state; the resumed
+    # run must follow the original bitwise.
+    target = s1.n_like + 2000
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)
+        s1.run(n_eff=10 ** 9, n_like_max=target)
+        s2.run(n_eff=10 ** 9, n_like_max=target)
+    assert s1.n_like == s2.n_like
+    assert s1.log_z == s2.log_z
+    assert s1._starved == s2._starved
+    p1, w1, l1 = s1.posterior()
+    p2, w2, l2 = s2.posterior()
+    assert np.all(p1 == p2)
+    assert np.all(w1 == w2)
+    assert np.all(l1 == l2)
+
+
 def test_sampler_checkpoint_no_resume(tmp_path):
     path = str(tmp_path / 'run.hdf5')
     sampler = _gauss_sampler(path, resume=False)

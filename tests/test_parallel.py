@@ -96,9 +96,11 @@ def test_sampler_with_mesh(mesh8):
 
 def test_sampler_mesh_matches_single_device(mesh8):
     # The mesh shards computation, not keys: the drawn candidate sequence
-    # is device-count-invariant, so a mesh run must reproduce the
-    # single-device run up to float reassociation in the sharded
-    # reductions.
+    # is device-count-invariant (sampler.py:_shard_points_fn), so a mesh
+    # run must reproduce the single-device run BITWISE — same points,
+    # same log-likelihoods, same integer counters. Only the device-side
+    # f32 pacing statistics may reassociate, and the host re-applies
+    # every decision in f64, so even those cannot change the outcome.
     def likelihood(x):
         return -0.5 * jnp.sum(((x - 0.5) / 0.05) ** 2, axis=-1)
 
@@ -110,11 +112,24 @@ def test_sampler_mesh_matches_single_device(mesh8):
         sampler = Sampler(prior, likelihood, n_live=200, n_networks=2,
                           seed=11, vectorized='jax', mesh=mesh)
         assert sampler.run(n_eff=500)
-        results[mesh is None] = (sampler.log_z, sampler.n_like,
-                                 sampler.n_eff)
+        results[mesh is None] = (
+            sampler.log_z, sampler.n_like, sampler.n_eff,
+            sampler.posterior(), np.copy(sampler.shell_n),
+            np.copy(sampler.shell_n_sample),
+            sampler.timing.get('sample_cand', 0))
 
-    (z_mesh, n_like_mesh, n_eff_mesh) = results[False]
-    (z_one, n_like_one, n_eff_one) = results[True]
-    assert z_mesh == pytest.approx(z_one, abs=1e-3)
+    (z_mesh, n_like_mesh, n_eff_mesh, post_mesh, sn_mesh, sns_mesh,
+     cand_mesh) = results[False]
+    (z_one, n_like_one, n_eff_one, post_one, sn_one, sns_one,
+     cand_one) = results[True]
+    # Integer counters: bitwise.
     assert n_like_mesh == n_like_one
-    assert n_eff_mesh == pytest.approx(n_eff_one, rel=1e-3)
+    assert np.array_equal(sn_mesh, sn_one)
+    assert np.array_equal(sns_mesh, sns_one)
+    assert cand_mesh == cand_one
+    # The drawn sample stream: bitwise.
+    for a, b in zip(post_mesh, post_one):
+        assert np.array_equal(a, b)
+    # Derived statistics: bitwise (pure f64 functions of the above).
+    assert z_mesh == z_one
+    assert n_eff_mesh == n_eff_one

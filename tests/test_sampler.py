@@ -117,21 +117,54 @@ def test_constant_likelihood():
 
 def test_plateau():
     # Likelihood with a plateau: exp(-r2/s2) clipped below a floor.
-    # Analytic: Z = integral of max(floor, gaussian).
+    # Analytic: Z = integral of max(floor, gaussian). Every seed must hit
+    # the reference's accuracy gate (reference runs 10 seeds,
+    # tests/test_sampler.py:351-392; the compiled programs are shared
+    # across seeds so repeats are cheap).
     def likelihood(x):
         r2 = jnp.sum((x - 0.5) ** 2, axis=-1)
         return jnp.maximum(-r2 / 0.05 ** 2, -10.0)
 
-    sampler = Sampler(make_prior(), likelihood, n_live=300, n_networks=0,
-                      seed=7, vectorized='jax')
-    success = sampler.run(n_eff=1000)
-    assert success
     # MC truth.
     rng = np.random.default_rng(0)
     x = rng.random((1000000, 2))
     log_l = np.maximum(-np.sum((x - 0.5) ** 2, axis=1) / 0.05 ** 2, -10.0)
     log_z_true = logsumexp(log_l) - np.log(len(log_l))
-    assert sampler.log_z == pytest.approx(log_z_true, abs=0.1)
+
+    for seed in range(10):
+        sampler = Sampler(make_prior(), likelihood, n_live=300,
+                          n_networks=0, seed=seed, vectorized='jax')
+        assert sampler.run(n_eff=1000)
+        assert sampler.log_z == pytest.approx(log_z_true, abs=0.1), seed
+
+
+def test_f32_likelihood_envelope():
+    # |log L| ~ 1e5 through the fused f32 device path must agree with the
+    # f64 host path and the analytic truth within the documented
+    # quantization envelope (ops/arena.py precision notes: f32 resolution
+    # at 1e5 is ~0.012 nat, far inside the statistical error here).
+    offset = -1.0e5
+    sigma = 0.1
+    log_norm = -np.log(2 * np.pi * sigma ** 2)
+
+    def like_jax(x):
+        return offset - 0.5 * jnp.sum(((x - 0.5) / sigma) ** 2, axis=-1)
+
+    def like_host(x):
+        return offset - 0.5 * np.sum(((x - 0.5) / sigma) ** 2, axis=-1)
+
+    truth = offset - log_norm
+    results = {}
+    for mode in ['jax', True]:
+        like = like_jax if mode == 'jax' else like_host
+        sampler = Sampler(make_prior(), like, n_live=200, n_networks=2,
+                          seed=4, vectorized=mode, pass_dict=False,
+                          n_batch=500)
+        assert sampler.run(n_eff=1000)
+        results[mode] = sampler.log_z
+    assert results['jax'] == pytest.approx(truth, abs=0.1)
+    assert results[True] == pytest.approx(truth, abs=0.1)
+    assert results['jax'] == pytest.approx(results[True], abs=0.15)
 
 
 def test_funnel():
