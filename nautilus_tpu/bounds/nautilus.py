@@ -46,26 +46,6 @@ def _shift_block_jit(pts, vec):
     return jnp.mod(pts + vec, 1.0)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _prefit_bound_jit(pts, log_l, valid, enlarge_per_dim, log_l_min):
-    """Fused bound-construction prologue: the above-threshold mask, its
-    count, the mode-finding MVEE fit, and the outer cube-ellipsoid greedy
-    descent, all in ONE dispatch. The host reads one packed vector
-    (n_above | ellipsoid fit | ucem fit) instead of paying three separate
-    ~30 ms round trips per bound."""
-    from .basic import ucem_greedy
-
-    d = pts.shape[1]
-    above = valid & (log_l >= log_l_min)
-    n_above = jnp.sum(above).astype(pts.dtype)
-    p = G.fit_ellipsoid(pts, above, jnp.ones(d, bool),
-                        enlarge_per_dim=enlarge_per_dim)
-    ell_vec = jnp.concatenate(
-        [p.c, p.B.reshape(-1), p.B_inv.reshape(-1), p.log_v[None]])
-    ucem_vec = ucem_greedy(pts, above, enlarge_per_dim)
-    return jnp.concatenate([n_above[None], ell_vec, ucem_vec]), above
-
-
 @partial(jax.jit, static_argnums=(6, 7))
 def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
                         enlarge_per_dim, n_points_min):

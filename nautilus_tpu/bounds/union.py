@@ -431,6 +431,12 @@ class Union:
             return False
 
         log_v_new = [float(p.log_v) for p in new_params]
+        # A non-finite child volume means a degenerate fit; NaN would slip
+        # through the shrink comparison below (NaN > x is False) and admit
+        # unbounded splitting — treat it as a failed split instead.
+        if not np.all(np.isfinite(log_v_new)):
+            self.block[index] = True
+            return self.split(allow_overlap=allow_overlap)
         if logsumexp(log_v_new) > self.log_v_all[index]:
             self.block[index] = True
             return self.split(allow_overlap=allow_overlap)

@@ -17,10 +17,30 @@ from jax.scipy.special import gammaln
 
 
 def safe_cholesky(m, eps=1e-10):
-    """Cholesky with a relative jitter so nearly singular inputs succeed."""
+    """Cholesky with a relative jitter so nearly singular inputs succeed.
+
+    The base jitter keeps full accuracy on well-conditioned inputs; if the
+    factorization still fails (f32 cannot survive condition numbers past
+    ~1e7 — e.g. the rank-deficient covariance of two collinear point
+    clusters), it escalates through two larger jitters instead of
+    returning NaN. The escalated result slightly thickens a degenerate
+    ellipsoid — the enclosing guarantee is restored by the caller's
+    max-Mahalanobis rescale, and a finite overbound is always preferable
+    to NaN geometry poisoning the split recursion.
+    """
     d = m.shape[-1]
+    eye = jnp.eye(d, dtype=m.dtype)
     scale = jnp.maximum(jnp.trace(m) / d, 1e-30)
-    return jnp.linalg.cholesky(m + eps * scale * jnp.eye(d, dtype=m.dtype))
+
+    def chol_with(e):
+        return jnp.linalg.cholesky(m + e * scale * eye)
+
+    c1 = chol_with(eps)
+    c2 = chol_with(3e-6)
+    c3 = chol_with(3e-3)
+    ok1 = jnp.all(jnp.isfinite(c1))
+    ok2 = jnp.all(jnp.isfinite(c2))
+    return jnp.where(ok1, c1, jnp.where(ok2, c2, c3))
 
 
 def inv_psd(m, eps=1e-10):
@@ -74,6 +94,18 @@ def mvee(points, point_mask, dim_mask, n_outer=50, n_inner=20):
 
     pm = point_mask.astype(dtype)
     u = pm / jnp.sum(pm)
+
+    # Standardize before lifting: the Khachiyan scatter matrix of raw
+    # points is conditioned like (offset / spread)^2 — a cluster of
+    # spread 1e-5 sitting at 0.1 is condition ~1e8, past f32. Centering
+    # and per-dim scaling make the solve O(1)-conditioned; the MVEE is
+    # affine-equivariant, so the result maps back exactly below.
+    mu = jnp.sum(points * u[:, None], axis=0) * dim_mask.astype(dtype)
+    xc0 = (points - mu) * dim_mask.astype(dtype)
+    s = jnp.sqrt(jnp.sum(xc0 ** 2 * u[:, None], axis=0))
+    s = jnp.where(dim_mask & (s > 0), s, 1.0)
+    points = xc0 / s
+
     q = jnp.concatenate([points, jnp.ones((n, 1), dtype)], axis=1)
     dim_mask_q = jnp.concatenate(
         [dim_mask, jnp.ones((1,), bool)])
@@ -114,6 +146,11 @@ def mvee(points, point_mask, dim_mask, n_outer=50, n_inner=20):
     scale = jnp.maximum(scale, 1e-30)
     a_mat = _fix_dropped_dims(a_mat / scale, dim_mask)
     a_inv = _fix_dropped_dims(cov * scale, dim_mask)
+
+    # Map back out of the standardized frame (x = mu + s * y).
+    c = mu + s * c * dim_mask.astype(dtype)
+    a_mat = _fix_dropped_dims(a_mat / jnp.outer(s, s), dim_mask)
+    a_inv = _fix_dropped_dims(a_inv * jnp.outer(s, s), dim_mask)
     return c, a_mat, a_inv
 
 

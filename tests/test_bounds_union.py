@@ -97,23 +97,31 @@ def test_neural_bound_purity():
 
 
 def test_nautilus_bound_two_peaks():
-    # Two Gaussian peaks: the bound should find two modes and sample with
-    # high efficiency (reference: tests/test_bounds.py:381-409).
-    rng = np.random.default_rng(9)
-    points = rng.random((3000, 2))
-    d1 = np.linalg.norm(points - 0.25, axis=1)
-    d2 = np.linalg.norm(points - 0.75, axis=1)
-    log_l = np.maximum(-d1 ** 2 / 0.02 ** 2, -d2 ** 2 / 0.02 ** 2)
-    log_l_min = np.sort(log_l)[-1000]
+    # The reference scenario (reference: tests/test_bounds.py:379-407):
+    # two widely separated tiny peaks. The bound must identify both modes,
+    # match the true volume within 0.1 nat, and >= 90% of the points it
+    # samples must lie above the likelihood threshold.
+    rng = np.random.default_rng(0)
+    radius = 1e-5
+    points = np.vstack([rng.normal(size=(1000, 2)) * radius + 0.1,
+                        rng.normal(size=(1000, 2)) * radius + 0.9])
+
+    def likelihood(x):
+        return -np.minimum(
+            np.linalg.norm(x - 0.1, axis=-1),
+            np.linalg.norm(x - 0.9, axis=-1)) / radius
+
+    log_l = likelihood(points)
+    log_l_min = -1.0
+    log_v_target = np.log(2 * np.pi * radius ** 2)
     bound = NautilusBound.compute(
-        points, log_l, log_l_min, log_v_target=np.log(0.01),
+        points, log_l, log_l_min, log_v_target, n_networks=1,
         keys=KeyStream(10))
     assert len(bound.neural_bounds) == 2
-    sample = bound.sample(1000)
+    sample = bound.sample(10000)
     assert np.all(bound.contains(sample))
-    # Sampling efficiency: most delivered outer points should pass the
-    # neural gate.
-    assert bound.n_sample / (bound.n_sample + bound.n_reject) > 0.3
+    assert np.isclose(bound.log_v, log_v_target, rtol=0, atol=0.1)
+    assert np.mean(likelihood(sample) > log_l_min) > 0.9
 
 
 def test_nautilus_bound_shell_volume():

@@ -50,12 +50,16 @@ def _make_problem(vectorized, pass_dict, n_blobs):
 @pytest.mark.parametrize('vectorized,pass_dict,pool,n_blobs', [
     ('jax', False, None, 0),
     ('jax', False, None, 2),
+    ('jax', False, None, 1),
     (True, False, None, 1),
     (True, True, None, 0),
+    (True, True, None, 2),
     (False, True, None, 1),
+    (False, False, None, 0),
     (False, False, 2, 1),
     (False, True, 2, 0),
     (True, False, 2, 2),
+    (True, True, 2, 1),
 ])
 def test_run_mode_matrix(n_networks, vectorized, pass_dict, pool, n_blobs):
     prior, likelihood = _make_problem(vectorized, pass_dict, n_blobs)
