@@ -34,6 +34,7 @@ jax.config.update('jax_compilation_cache_dir',
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 from nautilus_tpu import Prior, Sampler  # noqa: E402
+from nautilus_tpu.utils.fetch import warmup_seconds  # noqa: E402
 
 REFERENCE_SECONDS = 20.49
 
@@ -92,6 +93,7 @@ def main():
               {k: round(v, 1) for k, v in sampler.timing.items()}),
           file=sys.stderr)
 
+    link = warmup_seconds()
     print(json.dumps({
         'metric': 'time_to_logz_3d_gaussian_nlive1000_neff10k',
         'value': round(elapsed, 2),
@@ -99,6 +101,10 @@ def main():
         'vs_baseline': round(REFERENCE_SECONDS / elapsed, 3),
         'cold_s': round(cold, 2),
         'cold_vs_baseline': round(REFERENCE_SECONDS / cold, 3),
+        # Environmental component of cold: the tunnel's one-time
+        # device->host connection stall (30-200 s observed on this
+        # link), overlapped with compilation but unavoidable.
+        'link_stall_s': None if link is None else round(link, 2),
     }))
 
 

@@ -202,11 +202,12 @@ class NautilusBound:
         bound.n_reject = 0
         return bound
 
-    # Largest device block the speculative neural build accepts: beyond
-    # this, training on the uncompacted block would outgrow the compacted
-    # builder's compute, so speculation is skipped and the serial
-    # mode-select + compact path runs instead.
-    SPEC_MAX_BLOCK = 4096
+    # Compacted point capacity of the speculative neural build: the
+    # mode-membership prefilter compacts the block to this static size on
+    # device before training. The selected count is validated from the
+    # same combined fetch; a (rare) overflow falls back to the serial
+    # mode-select + compact path with the exact bucket.
+    SPEC_COMPACT = 4096
 
     @classmethod
     def compute_device(cls, pts_dev, log_l_dev, valid_dev,
@@ -253,22 +254,30 @@ class NautilusBound:
             bound.keys.next(), float(enlarge_per_dim), npm)
 
         # Speculative fused neural build on the root mode, dispatched
-        # before any fetch; training compute overlaps the link round trip.
+        # before any fetch; the mode prefilter + compact + full training
+        # chain overlaps the link round trip of the prologue fetch.
         spec = None
-        if (n_networks > 0 and expect_modes <= 1 and
-                int(pts_dev.shape[0]) <= cls.SPEC_MAX_BLOCK):
+        if n_networks > 0 and expect_modes <= 1:
+            from .neural import _mode_sel_jit, _compact_sel_jit
             cfg = NeuralBound._build_config(d, neural_network_kwargs)
             ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
-            spec = NeuralBound.dispatch_build(
-                pts_dev, log_l_dev, above, valid_dev, ell1,
-                np.ones(1, bool), 1, bound.keys, n_networks, cfg,
-                enlarge_per_dim)
+            sel, n_sel_dev = _mode_sel_jit(
+                pts_dev, valid_dev, ell1, jnp.ones(1, bool))
+            pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
+                pts_dev, log_l_dev, above, sel, cls.SPEC_COMPACT)
+            small, flat = NeuralBound.dispatch_build(
+                pts_c, log_l_c, above_c, valid_c, ell1, np.ones(1, bool),
+                1, bound.keys, n_networks, cfg, enlarge_per_dim)
+            spec = (small, flat, n_sel_dev)
 
         if spec is not None:
-            packed, spec_small = fetch_many(packed_dev, spec[0])
+            packed, spec_small, n_sel_spec = fetch_many(
+                packed_dev, spec[0], spec[2])
             packed = packed.astype(np.float64)
+            spec_fits = int(n_sel_spec) <= cls.SPEC_COMPACT
         else:
             packed = fetch(packed_dev, np.float64)
+            spec_fits = False
 
         n_packed = d + 2 * d * d + 1
         n_above = int(packed[0])
@@ -312,9 +321,10 @@ class NautilusBound:
             while multi_ellipsoid.split(allow_overlap=False):
                 pass
 
-        if spec is not None and not split_ok:
-            # Mode finding stayed unimodal: the speculative build is the
-            # real build.
+        if spec is not None and spec_fits and not split_ok:
+            # Mode finding stayed unimodal and the compacted block held
+            # every selected point: the speculative build is the real
+            # build.
             bound.neural_bounds = NeuralBound.finish_build(
                 spec_small.astype(np.float64), spec[1], 1, d, cfg,
                 n_networks, bound.keys)

@@ -238,6 +238,7 @@ class Sampler:
         ``timeout``.
         """
         t_start = time()
+        self._preload_async()
 
         if verbose:
             if self.n_like == 0:
@@ -344,6 +345,121 @@ class Sampler:
             self.print_status('Finished' if success else 'Stopped')
 
         return success
+
+    def _preload_async(self):
+        """Compile/load the later-phase executables on a background thread.
+
+        A cold run pays seconds of trace + persistent-cache-load per
+        compiled program, serialized along the run's critical path. The
+        sampling-phase driver and the fused single-batch collectors are
+        not needed until well into the run, so a daemon thread lowers and
+        compiles them concurrently — the work interleaves into the main
+        thread's XLA compile and link-wait gaps (both release the GIL).
+        Shapes are derived from the run configuration alone; values are
+        dummies (lower/compile never executes). Best-effort: any failure
+        leaves the normal lazy path untouched.
+        """
+        if self.vectorized != 'jax' or getattr(self, '_preloaded', False):
+            return
+        self._preloaded = True
+
+        import threading
+
+        def work():
+            try:
+                from .bounds.nautilus import NautilusBound as NB, \
+                    _bound_prologue_jit
+                from .bounds.neural import NeuralBound, _batched_build_jit, \
+                    _compact_sel_jit, _mode_sel_jit
+
+                d = self.n_dim
+                f32 = np.float32
+                e_nets = max(self.n_networks, 1)
+                k_pad, m_pad, b_pad = 16, 1, 32
+                sizes = self._mlp_sizes()
+                n_layers = len(sizes) - 1
+                key = self.keys.key_at(0)
+                keys1 = jax.random.split(key, 1)
+                epd = float(self.enlarge_per_dim)
+
+                def blk(n):
+                    return (np.zeros((n, d), f32), np.zeros(n, f32),
+                            np.zeros(n, bool))
+
+                # Bound-construction chain first: it is needed within the
+                # run's first seconds. The builder (the largest program)
+                # has ONE shape thanks to the fixed speculative compact.
+                if self.n_networks > 0:
+                    cfg = NeuralBound._build_config(
+                        d, self.neural_network_kwargs)
+                    eye1 = np.zeros((1, d, d), f32)
+                    ell1 = G.EllParams(
+                        c=np.zeros((1, d), f32), B=eye1, B_inv=eye1,
+                        dim_mask=np.ones((1, d), bool),
+                        dim_cube=np.zeros((1, d), bool),
+                        log_v=np.zeros(1, f32))
+                    pts_c, log_l_c, above_c = blk(NB.SPEC_COMPACT)
+                    _batched_build_jit.lower(
+                        pts_c, log_l_c, above_c, above_c, ell1,
+                        jnp.ones(1, bool), keys1, sizes=tuple(sizes),
+                        n_networks=self.n_networks,
+                        batch_size=cfg['batch_size'],
+                        max_epochs=cfg['max_epochs'],
+                        n_iter_no_change=cfg['n_iter_no_change'],
+                        lr=cfg['lr'], enlarge_per_dim=epd).compile()
+                for n in (2048, 4096):
+                    pts_b, log_l_b, valid_b = blk(n)
+                    _bound_prologue_jit.lower(
+                        pts_b, log_l_b, valid_b,
+                        jnp.asarray(0.0, jnp.float32), key, key, epd,
+                        int(self.n_points_min)).compile()
+                    if self.n_networks > 0:
+                        _mode_sel_jit.lower(
+                            pts_b, valid_b, ell1,
+                            jnp.ones(1, bool)).compile()
+                        _compact_sel_jit.lower(
+                            pts_b, log_l_b, valid_b, valid_b,
+                            NB.SPEC_COMPACT).compile()
+
+                parts = self._cube_stack_parts(k_pad, m_pad)
+
+                def stacked(field):
+                    return jax.tree.map(
+                        lambda x: np.broadcast_to(
+                            np.asarray(x), (b_pad,) + np.shape(x)),
+                        parts[field])
+
+                weights = tuple(np.zeros(
+                    (b_pad, m_pad, e_nets, sizes[k], sizes[k + 1]), f32)
+                    for k in range(n_layers))
+                biases = tuple(np.zeros(
+                    (b_pad, m_pad, e_nets, sizes[k + 1]), f32)
+                    for k in range(n_layers))
+                neural = NeuralStack(
+                    ell=stacked('ell'), mean=stacked('mean'),
+                    scale=stacked('scale'), weights=weights, biases=biases,
+                    cut=stacked('cut'), has_net=stacked('has_net'),
+                    mode_mask=stacked('mode_mask'))
+                stack = BoundStack(
+                    outer=stacked('outer'), outer_mask=stacked('outer_mask'),
+                    neural=neural, shift=np.zeros((b_pad, d), f32),
+                    bound_mask=np.zeros(b_pad, bool))
+                vb = np.zeros(b_pad, f32)
+                ib = np.zeros(b_pad, np.int32)
+                bb = np.zeros(b_pad, bool)
+                self._phase_step().lower(
+                    stack, key, ib, ib, vb, vb, vb, vb, vb, bb,
+                    np.int32(1), np.float32(1.0), np.int32(1)).compile()
+                for need_member in (True, False):
+                    # Plain Python int: the real calls pass a weak-typed
+                    # index, and the executable cache keys on weak types.
+                    self._fused_step(need_member).lower(
+                        stack, 0, key).compile()
+            except Exception:  # pragma: no cover - best-effort preload
+                pass
+
+        threading.Thread(target=work, name='nautilus-tpu-preload',
+                         daemon=True).start()
 
     def _unfilled_shells(self, n_shell):
         """Shells still needing samples; starved shells are exempt."""

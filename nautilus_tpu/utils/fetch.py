@@ -30,6 +30,18 @@ FETCH_FLOOR_BYTES = int(os.environ.get('NAUTILUS_TPU_FETCH_FLOOR', 0))
 
 _warmup_thread = None
 _warmup_lock = threading.Lock()
+_warmup_times = {}
+
+
+def warmup_seconds():
+    """Wall time the link-establishment fetch took (None before it
+    finishes). The first device->host copy of a process stalls in the
+    tunnel's connection path for tens of seconds to minutes — an
+    environmental cost no framework code can avoid; exposing it lets
+    benchmarks decompose cold-start time honestly."""
+    if 'start' in _warmup_times and 'end' in _warmup_times:
+        return _warmup_times['end'] - _warmup_times['start']
+    return None
 
 
 @jax.jit
@@ -64,7 +76,10 @@ def warmup(wait=False):
     with _warmup_lock:
         if _warmup_thread is None:
             def _warm():
+                import time
+                _warmup_times['start'] = time.time()
                 np.asarray(jnp.zeros(8, jnp.float32) + 0.0)
+                _warmup_times['end'] = time.time()
 
             _warmup_thread = threading.Thread(
                 target=_warm, name='nautilus-tpu-link-warmup', daemon=True)
