@@ -214,7 +214,7 @@ class NautilusBound:
                        log_l_min, log_v_target, enlarge_per_dim=1.1,
                        n_points_min=None, split_threshold=100, periodic=None,
                        n_networks=4, neural_network_kwargs=None, keys=None,
-                       points_above=None, expect_modes=1):
+                       points_above=None, expect_modes=1, speculate=True):
         """Device-block twin of :meth:`compute`.
 
         Consumes a compact device point block (typically the sampler's
@@ -256,8 +256,11 @@ class NautilusBound:
         # Speculative fused neural build on the root mode, dispatched
         # before any fetch; the mode prefilter + compact + full training
         # chain overlaps the link round trip of the prologue fetch.
+        # ``speculate=False`` (the sampler latches it off after a compact
+        # overflow) avoids dispatching trainings that would be discarded —
+        # wasted device compute queues ahead of the real build.
         spec = None
-        if n_networks > 0 and expect_modes <= 1:
+        if n_networks > 0 and expect_modes <= 1 and speculate:
             from .neural import _mode_sel_jit, _compact_sel_jit
             cfg = NeuralBound._build_config(d, neural_network_kwargs)
             ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
@@ -275,9 +278,11 @@ class NautilusBound:
                 packed_dev, spec[0], spec[2])
             packed = packed.astype(np.float64)
             spec_fits = int(n_sel_spec) <= cls.SPEC_COMPACT
+            bound.spec_overflow = not spec_fits
         else:
             packed = fetch(packed_dev, np.float64)
             spec_fits = False
+            bound.spec_overflow = False
 
         n_packed = d + 2 * d * d + 1
         n_above = int(packed[0])

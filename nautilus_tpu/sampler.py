@@ -222,6 +222,9 @@ class Sampler:
         # budget: they stop being fill/variance targets (with a warning)
         # instead of aborting the run.
         self._starved = set()
+        # Latched off after a speculative-build compact overflow (affects
+        # key consumption, so it is checkpointed).
+        self._spec_overflowed = False
 
         self.filepath = filepath
         if resume and filepath is not None and Path(filepath).exists():
@@ -570,7 +573,13 @@ class Sampler:
                         n_networks=self.n_networks,
                         neural_network_kwargs=self.neural_network_kwargs,
                         keys=self.keys, points_above=points_above,
-                        expect_modes=expect_modes)
+                        expect_modes=expect_modes,
+                        speculate=not self._spec_overflowed)
+                    if getattr(bound, 'spec_overflow', False):
+                        # This run's selected point sets outgrow the
+                        # speculative compact; later builds skip the
+                        # wasted dispatch (persisted for resume parity).
+                        self._spec_overflowed = True
                 else:
                     log_l_cat = np.concatenate(self.log_l)
                     points = self.arena.rows(np.concatenate(self.idx))[
@@ -1947,6 +1956,7 @@ class Sampler:
         # or it would re-pay the full candidate budget and diverge from the
         # uninterrupted run.
         group.attrs['starved'] = np.array(sorted(self._starved), dtype=int)
+        group.attrs['spec_overflowed'] = self._spec_overflowed
 
         for shell in range(len(self.bounds)):
             group.create_dataset(
@@ -2062,6 +2072,8 @@ class Sampler:
                 setattr(self, key, group.attrs[key])
             self._starved = set(
                 int(s) for s in group.attrs.get('starved', []))
+            self._spec_overflowed = bool(
+                group.attrs.get('spec_overflowed', False))
 
             points_lists = []
             idx_lists = []
