@@ -36,6 +36,9 @@ def main():
     prior = Prior()
     for i in range(model.n_dim):
         prior.add_parameter('x_{}'.format(i))
+    # n_batch=500 matches the validation config (and round-3 numbers);
+    # measured: larger batches (n_batch=n_live) collect ~8% more
+    # likelihood calls without reducing wall time on this problem.
     sampler = Sampler(prior, model.fn, n_live=3000, seed=0, n_networks=4,
                       vectorized='jax', n_batch=500)
     t0 = time.time()

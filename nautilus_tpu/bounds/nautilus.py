@@ -64,7 +64,10 @@ def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
     fused neural build can start before the host sees anything.
 
     Packed layout: [n_above | mode fit (d+2d^2+1) | child0 | child1 |
-    counts (2) | ucem fit (d+2d^2+1+d) | mc counters (2)].
+    counts (2) | ucem fit (d+2d^2+1+d) | mc counters (2) | n_sel_root].
+    ``n_sel_root`` is the root-mode prefilter count — when mode finding
+    stays unimodal it lets the batched neural builder skip its own count
+    fetch.
     """
     from .basic import ucem_greedy_params
     from .union import _gmm_labels
@@ -119,9 +122,11 @@ def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
     zero = jnp.asarray(0, jnp.int32)
     mc = jax.lax.while_loop(mc_cond, mc_body, (zero, zero, zero))
 
+    n_sel_root = jnp.sum(
+        (G.ell_contains(p_mode, pts) & valid).astype(jnp.int32)).astype(f32)
     packed = jnp.concatenate([
         n_above[None], mode_vec, child_vec, counts, ucem_vec,
-        jnp.stack(mc[:2]).astype(f32)])
+        jnp.stack(mc[:2]).astype(f32), n_sel_root[None]])
     return packed, above, masks[0], masks[1], p_mode
 
 
@@ -299,6 +304,7 @@ class NautilusBound:
         ucem_vec = packed[off:off + n_packed + d]
         off += n_packed + d
         mc_tot, mc_acc = packed[off:off + 2].astype(int)
+        n_sel_root = int(packed[off + 2])
         dim_cube = ucem_vec[-d:] > 0.5
         outer_params0 = unpack_ell(ucem_vec[:-d], d, ~dim_cube, dim_cube)
         if float(outer_params0.log_v) > 0:
@@ -341,7 +347,8 @@ class NautilusBound:
                     multi_ellipsoid.params_list,
                     enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
                     neural_network_kwargs=neural_network_kwargs,
-                    keys=bound.keys)
+                    keys=bound.keys,
+                    n_sel=n_sel_root if not split_ok else None)
 
         bound.outer_bound = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,

@@ -357,7 +357,8 @@ class NeuralBound:
     @classmethod
     def compute_batched_device(cls, pts_dev, log_l_dev, valid_dev, above_dev,
                                mode_params, enlarge_per_dim=1.1, n_networks=4,
-                               neural_network_kwargs=None, keys=None):
+                               neural_network_kwargs=None, keys=None,
+                               n_sel=None):
         """Device-block twin of :meth:`compute_batched`.
 
         The point set never visits the host: the mode prefilter (reference
@@ -366,7 +367,9 @@ class NeuralBound:
         compacts the block before the fused builder, so the trainer keeps
         its small compiled bucket. Only the selected-point count, the tiny
         per-mode summary, and (for ``n_networks=0``) the per-mode ellipsoid
-        geometries are fetched.
+        geometries are fetched. Callers that already know the selected
+        count (the bound prologue computes the root-mode count in its own
+        packed fetch) pass ``n_sel`` to skip the count fetch entirely.
         """
         from ..utils.bucket import bucket_size
         from .basic import fit_ellipsoid_host
@@ -378,9 +381,11 @@ class NeuralBound:
         m_pad = bucket_size(m, floor=1)
 
         ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
-        sel, n_sel = _mode_sel_jit(pts_dev, valid_dev, ell_stacked,
-                                   jnp.asarray(mode_mask))
-        n_sel = max(int(fetch(n_sel)), 1)
+        sel, n_sel_dev = _mode_sel_jit(pts_dev, valid_dev, ell_stacked,
+                                       jnp.asarray(mode_mask))
+        if n_sel is None:
+            n_sel = int(fetch(n_sel_dev))
+        n_sel = max(int(n_sel), 1)
         size = bucket_size(n_sel, floor=4096)
         pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
             pts_dev, log_l_dev, above_dev, sel, size)

@@ -90,7 +90,7 @@ def main():
         rate_n, log_z_n, dt_n = rate_1, log_z_1, dt_1
 
     efficiency = rate_n / (rate_1 * max(n_dev, 1))
-    print(json.dumps({
+    out = {
         'metric': 'scaling_efficiency_evals_per_sec',
         'n_devices': n_dev,
         'evals_per_sec_1dev': round(rate_1, 1),
@@ -99,7 +99,15 @@ def main():
         'speedup': round(rate_n / rate_1, 3),
         'log_z_match': bool(abs(log_z_1 - log_z_n) < 0.01),
         'platform': jax.devices()[0].platform,
-    }))
+    }
+    if args.virtual:
+        out['note'] = (
+            'virtual CPU mesh ({} devices sharing {} host cores): records '
+            'sharded-path health for regression tracking, not hardware '
+            'scaling; bitwise mesh-invariance of the sample stream is '
+            'asserted in tests/test_parallel.py'.format(
+                n_dev, os.cpu_count()))
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
