@@ -366,8 +366,11 @@ class UnitCubeEllipsoidMixture:
                 packed = fetch(_grow_candidates_jit(
                     pts, mask, jnp.asarray(dim_cube), enlarge_per_dim),
                     np.float32)
+                raw = packed[:, n_packed - 1]
+                # Non-finite candidate fits (degenerate f32 geometry) are
+                # skipped, not allowed to win the argmin or end the search.
                 cand_log_v = np.where(
-                    dim_cube, packed[:, n_packed - 1], np.inf)
+                    dim_cube & np.isfinite(raw), raw, np.inf)
                 best = int(np.argmin(cand_log_v))
                 if not cand_log_v[best] < log_v:
                     break

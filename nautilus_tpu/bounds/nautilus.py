@@ -105,18 +105,21 @@ def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
         [p_outer.c, p_outer.B.reshape(-1), p_outer.B_inv.reshape(-1),
          p_outer.log_v[None], dim_cube.astype(f32)])
 
+    from .union import MC_VOLUME_MAX_ITERS, MC_VOLUME_N_MIN, Union as _U
     stacked = jax.tree.map(lambda a: a[None], p_outer)
     one_mask = jnp.ones(1, bool)
+    mc_chunk = _U.SAMPLE_BATCH
 
     def mc_cond(state):
-        return (state[1] < 100) & (state[2] < 256)
+        return ((state[1] < MC_VOLUME_N_MIN) &
+                (state[2] < MC_VOLUME_MAX_ITERS))
 
     def mc_body(state):
         n_tot, n_acc, it = state
         sub = jax.random.fold_in(key_mc, it)
         _, accept = G.union_sample_batch(
-            stacked, one_mask, sub, 1024, unit=True)
-        return (n_tot + 1024,
+            stacked, one_mask, sub, mc_chunk, unit=True)
+        return (n_tot + mc_chunk,
                 n_acc + jnp.sum(accept.astype(jnp.int32)), it + 1)
 
     zero = jnp.asarray(0, jnp.int32)
@@ -279,6 +282,13 @@ class NautilusBound:
             spec = (small, flat, n_sel_dev)
 
         if spec is not None:
+            # Merged fetch: spec[0] is a training output, so this waits
+            # for the speculative build even when it turns out discarded
+            # (a unimodal->multimodal transition pays one wasted training
+            # wait, once per transition — after it, expect_modes > 1
+            # skips speculation). Splitting the fetch to decide first
+            # would instead cost one extra round trip on EVERY unimodal
+            # bound, the overwhelmingly common case.
             packed, spec_small, n_sel_spec = fetch_many(
                 packed_dev, spec[0], spec[2])
             packed = packed.astype(np.float64)
@@ -316,16 +326,16 @@ class NautilusBound:
         # the exact rules Union.split applies (blocked root, overlap veto,
         # volume-must-shrink; reference: nautilus/bounds/union.py:195-213),
         # then continue the serial masked split loop only if it succeeded.
+        from .union import split_accept
         multi_ellipsoid = Union.compute_masked(
             pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
             n_points_min=n_points_min, bound_class=Ellipsoid,
             keys=bound.keys, params0=mode_params0)
-        from scipy.special import logsumexp
         split_ok = (
             not bool(multi_ellipsoid.block[0]) and
             not ellipsoids_overlap(child_params) and
-            logsumexp([float(p.log_v) for p in child_params]) <=
-            float(mode_params0.log_v))
+            split_accept(float(mode_params0.log_v),
+                         [float(p.log_v) for p in child_params]))
         if split_ok:
             multi_ellipsoid._adopt_first_split(
                 child_params, [m0, m1], child_counts)

@@ -159,6 +159,26 @@ def _split_mixture_masked_jit(params, points, member_mask, key,
     return jnp.concatenate([packed.reshape(-1), counts]), masks[0], masks[1]
 
 
+# MC volume seeding policy — shared by Union.log_v and the fused bound
+# prologue (bounds/nautilus.py), which seeds a one-member union's
+# counters inside its own dispatch. Changing the policy here keeps every
+# counter accumulation on a Union statistically consistent.
+MC_VOLUME_N_MIN = 100
+MC_VOLUME_MAX_ITERS = 256
+
+
+def split_accept(parent_log_v, child_log_vs):
+    """Union.split's volume rule, shared with the host-side resolution of
+    the prologue's first split attempt (bounds/nautilus.py): accept iff
+    both child volumes are finite (a NaN fit must read as a failed split,
+    not slip through the comparison) and their sum does not exceed the
+    parent's volume (reference: nautilus/bounds/union.py:210-213)."""
+    child_log_vs = np.asarray(child_log_vs, np.float64)
+    if not np.all(np.isfinite(child_log_vs)):
+        return False
+    return logsumexp(child_log_vs) <= parent_log_v
+
+
 def ellipsoids_overlap(params_list):
     """Whether any pair of ellipsoids overlaps.
 
@@ -431,13 +451,7 @@ class Union:
             return False
 
         log_v_new = [float(p.log_v) for p in new_params]
-        # A non-finite child volume means a degenerate fit; NaN would slip
-        # through the shrink comparison below (NaN > x is False) and admit
-        # unbounded splitting — treat it as a failed split instead.
-        if not np.all(np.isfinite(log_v_new)):
-            self.block[index] = True
-            return self.split(allow_overlap=allow_overlap)
-        if logsumexp(log_v_new) > self.log_v_all[index]:
+        if not split_accept(self.log_v_all[index], log_v_new):
             self.block[index] = True
             return self.split(allow_overlap=allow_overlap)
 
@@ -550,8 +564,8 @@ class Union:
             # batch (the points would be redrawn anyway).
             stacked, member_mask = self._stacked()
             counters = fetch(_union_mc_jit(
-                stacked, member_mask, self.keys.next(), 100,
-                self.SAMPLE_BATCH, 256, self.unit), int)
+                stacked, member_mask, self.keys.next(), MC_VOLUME_N_MIN,
+                self.SAMPLE_BATCH, MC_VOLUME_MAX_ITERS, self.unit), int)
             self.n_sample += int(counters[0])
             self.n_reject += int(counters[0] - counters[1])
         return float(logsumexp(self.log_v_all) +

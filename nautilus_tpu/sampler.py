@@ -53,6 +53,10 @@ from .utils.keys import KeyStream
 # compiled programs in long-lived processes that build many samplers.
 _STEP_FN_CACHE = OrderedDict()
 _STEP_FN_CACHE_MAX = 8
+# Guards check-then-insert on the shared callable stores: the preload
+# daemon thread builds the same entries concurrently with the run loop,
+# and duplicate jit instances would each pay their own executable load.
+_STEP_FN_LOCK = threading.Lock()
 
 _mc_volume_jit = partial(jax.jit, static_argnums=(3, 4, 5))(
     mc_volume_counters)
@@ -967,15 +971,16 @@ class Sampler:
     def _step_fns(self):
         """Compiled-callable store: module-shared when identity allows."""
         key = self._step_cache_key()
-        if key is None:
-            if self._local_step_fns is None:
-                self._local_step_fns = {}
-            return self._local_step_fns
-        fns = _STEP_FN_CACHE.setdefault(key, {})
-        _STEP_FN_CACHE.move_to_end(key)
-        while len(_STEP_FN_CACHE) > _STEP_FN_CACHE_MAX:
-            _STEP_FN_CACHE.popitem(last=False)
-        return fns
+        with _STEP_FN_LOCK:
+            if key is None:
+                if self._local_step_fns is None:
+                    self._local_step_fns = {}
+                return self._local_step_fns
+            fns = _STEP_FN_CACHE.setdefault(key, {})
+            _STEP_FN_CACHE.move_to_end(key)
+            while len(_STEP_FN_CACHE) > _STEP_FN_CACHE_MAX:
+                _STEP_FN_CACHE.popitem(last=False)
+            return fns
 
     def _fused_step(self, need_member=True):
         """One compiled program per ``add_samples`` call: the whole
@@ -990,22 +995,23 @@ class Sampler:
         """
         fns = self._step_fns()
         name = 'fused_{}'.format(need_member)
-        if name not in fns:
-            eval_fn = self._device_eval_fn()
-            shard_fn = self._shard_points_fn()
-            n_target = self.n_batch
-            chunk = self.SHELL_BATCH
-            max_iters = self.MAX_COLLECT_ITERS
+        with _STEP_FN_LOCK:
+            if name not in fns:
+                eval_fn = self._device_eval_fn()
+                shard_fn = self._shard_points_fn()
+                n_target = self.n_batch
+                chunk = self.SHELL_BATCH
+                max_iters = self.MAX_COLLECT_ITERS
 
-            @jax.jit
-            def step(stack, index, key):
-                return collect_shell_points(
-                    stack, index, key, n_target, chunk=chunk,
-                    eval_fn=eval_fn, max_iters=max_iters,
-                    need_member=need_member, shard_fn=shard_fn)
+                @jax.jit
+                def step(stack, index, key):
+                    return collect_shell_points(
+                        stack, index, key, n_target, chunk=chunk,
+                        eval_fn=eval_fn, max_iters=max_iters,
+                        need_member=need_member, shard_fn=shard_fn)
 
-            fns[name] = step
-        return fns[name]
+                fns[name] = step
+            return fns[name]
 
     def _need_member(self, index):
         """Whether a collect dispatch needs the full membership matrix."""
@@ -1015,26 +1021,28 @@ class Sampler:
     def _phase_step(self):
         """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
         fns = self._step_fns()
-        if 'phase' not in fns:
-            eval_fn = self._device_eval_fn()
-            shard_fn = self._shard_points_fn()
-            n_batch = self.n_batch
-            chunk = self.SHELL_BATCH
-            max_batches = self.PHASE_MAX_BATCHES
-            max_iters = self.MAX_COLLECT_ITERS
+        with _STEP_FN_LOCK:
+            if 'phase' not in fns:
+                eval_fn = self._device_eval_fn()
+                shard_fn = self._shard_points_fn()
+                n_batch = self.n_batch
+                chunk = self.SHELL_BATCH
+                max_batches = self.PHASE_MAX_BATCHES
+                max_iters = self.MAX_COLLECT_ITERS
 
-            @jax.jit
-            def phase(stack, key, shell_n, shell_ns, m1, s1, m2, s2,
-                      bound_log_v, blocked, n_shell_min, n_eff_target,
-                      n_budget):
-                return sampling_phase(
-                    stack, key, shell_n, shell_ns, m1, s1, m2, s2,
-                    bound_log_v, blocked, n_batch, chunk, n_shell_min,
-                    n_eff_target, max_batches, eval_fn, max_iters=max_iters,
-                    n_budget=n_budget, shard_fn=shard_fn)
+                @jax.jit
+                def phase(stack, key, shell_n, shell_ns, m1, s1, m2, s2,
+                          bound_log_v, blocked, n_shell_min, n_eff_target,
+                          n_budget):
+                    return sampling_phase(
+                        stack, key, shell_n, shell_ns, m1, s1, m2, s2,
+                        bound_log_v, blocked, n_batch, chunk, n_shell_min,
+                        n_eff_target, max_batches, eval_fn,
+                        max_iters=max_iters, n_budget=n_budget,
+                        shard_fn=shard_fn)
 
-            fns['phase'] = phase
-        return fns['phase']
+                fns['phase'] = phase
+            return fns['phase']
 
     def _batch_budget(self, n_like_max):
         """Batches allowed before ``n_like`` reaches ``n_like_max`` —
@@ -1192,33 +1200,35 @@ class Sampler:
         """Compiled exploration-phase driver (see
         ops.shell_stack.exploration_phase)."""
         fns = self._step_fns()
-        if 'explore' not in fns:
-            eval_fn = self._device_eval_fn()
-            shard_fn = self._shard_points_fn()
-            n_batch = self.n_batch
-            chunk = self.SHELL_BATCH
-            max_batches = self.PHASE_MAX_BATCHES
-            max_iters = self.MAX_COLLECT_ITERS
-            n_live = self.n_live
+        with _STEP_FN_LOCK:
+            if 'explore' not in fns:
+                eval_fn = self._device_eval_fn()
+                shard_fn = self._shard_points_fn()
+                n_batch = self.n_batch
+                chunk = self.SHELL_BATCH
+                max_batches = self.PHASE_MAX_BATCHES
+                max_iters = self.MAX_COLLECT_ITERS
+                n_live = self.n_live
 
-            # Donating the arena buffers lets XLA update them in place —
-            # at deep-run scale (1e6 rows x d) the in/out copies would
-            # otherwise double the program's memory footprint.
-            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-            def phase(pts, log_l, alive, shell, arena_n, stack, key, index,
-                      shell_ns, m1, s1, bound_log_v, slot_valid,
-                      log_l_min_last, n_total0, n_update_rem, n_like_rem,
-                      f_live_target, n_budget):
-                return exploration_phase(
-                    pts, log_l, alive, shell, arena_n, stack, key, index,
-                    shell_ns, m1, s1, bound_log_v, slot_valid,
-                    log_l_min_last, n_total0, n_update_rem, n_like_rem,
-                    f_live_target, n_live, n_batch, chunk, max_batches,
-                    eval_fn, max_iters=max_iters, n_budget=n_budget,
-                    shard_fn=shard_fn)
+                # Donating the arena buffers lets XLA update them in
+                # place — at deep-run scale (1e6 rows x d) the in/out
+                # copies would otherwise double the program's memory
+                # footprint.
+                @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+                def phase(pts, log_l, alive, shell, arena_n, stack, key,
+                          index, shell_ns, m1, s1, bound_log_v, slot_valid,
+                          log_l_min_last, n_total0, n_update_rem,
+                          n_like_rem, f_live_target, n_budget):
+                    return exploration_phase(
+                        pts, log_l, alive, shell, arena_n, stack, key,
+                        index, shell_ns, m1, s1, bound_log_v, slot_valid,
+                        log_l_min_last, n_total0, n_update_rem, n_like_rem,
+                        f_live_target, n_live, n_batch, chunk, max_batches,
+                        eval_fn, max_iters=max_iters, n_budget=n_budget,
+                        shard_fn=shard_fn)
 
-            fns['explore'] = phase
-        return fns['explore']
+                fns['explore'] = phase
+            return fns['explore']
 
     def _exploration_phase_device(self, f_live_target, n_like_max=np.inf,
                                   verbose=False):
@@ -1679,6 +1689,13 @@ class Sampler:
         d = self.n_dim
         n_cand, n_outer, n_self, n_iter = \
             packed[self.n_batch, :4].astype(int)
+        if n_iter >= self.MAX_COLLECT_ITERS:
+            # Starved: the buffer's undelivered rows are zeros, not shell
+            # samples — fail loudly rather than return them.
+            raise RuntimeError(
+                'Shell {} did not deliver {} points within the candidate '
+                'budget ({} chunks).'.format(
+                    index, self.n_batch, self.MAX_COLLECT_ITERS))
         points = packed[:self.n_batch, :d]
         shell_p = packed[:self.n_batch, d + 1].astype(int)
 
