@@ -26,7 +26,7 @@ from .basic import Ellipsoid, unpack_ell
     'enlarge_per_dim'))
 def _batched_build_jit(points, log_l, above, valid, mode_ells, mode_mask,
                        keys, sizes, n_networks, batch_size, max_epochs,
-                       n_iter_no_change, lr, enlarge_per_dim):
+                       n_iter_no_change, lr, alpha, enlarge_per_dim):
     """Build every mode's neural bound in ONE device program.
 
     Fuses the full reference pipeline (reference:
@@ -70,7 +70,7 @@ def _batched_build_jit(points, log_l, above, valid, mode_ells, mode_mask,
     params, _ = train_ensembles_multi(
         z, score, inside, keys, sizes, n_networks=n_networks,
         batch_size=batch_size, lr=lr, max_epochs=max_epochs,
-        n_iter_no_change=n_iter_no_change)
+        n_iter_no_change=n_iter_no_change, alpha=alpha)
     pred = jax.vmap(ensemble_predict)(params, z)
     cut = jax.vmap(calibrate_cut, in_axes=(0, 0, 0, None))(
         score, pred, inside, above)
@@ -295,17 +295,13 @@ class NeuralBound:
     def _build_config(cls, d, neural_network_kwargs):
         """Resolve the builder's training hyperparameters (sklearn-kwarg
         compatible; reference: nautilus/neural.py:79-88)."""
-        kwargs = dict(neural_network_kwargs or {})
-        kwargs.pop('random_state', None)
-        from ..neural import DEFAULT_HIDDEN
-        hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
-        return dict(
-            hidden=hidden,
-            sizes=(d,) + hidden + (1,),
-            lr=float(kwargs.pop('learning_rate_init', 1e-2)),
-            max_epochs=int(kwargs.pop('max_iter', 3000)),
-            n_iter_no_change=int(kwargs.pop('n_iter_no_change', 10)),
-            batch_size=int(kwargs.pop('batch_size', 200)))
+        from ..neural import resolve_network_kwargs
+        cfg = resolve_network_kwargs(neural_network_kwargs)
+        cfg['sizes'] = (d,) + cfg['hidden'] + (1,)
+        if cfg['batch_size'] is None:
+            cfg['batch_size'] = 200
+        cfg['batch_size'] = int(cfg['batch_size'])
+        return cfg
 
     @classmethod
     def dispatch_build(cls, pts, log_l, above, valid, ell_stacked, mode_mask,
@@ -323,6 +319,7 @@ class NeuralBound:
             mode_keys, sizes=cfg['sizes'], n_networks=n_networks,
             batch_size=cfg['batch_size'], max_epochs=cfg['max_epochs'],
             n_iter_no_change=cfg['n_iter_no_change'], lr=cfg['lr'],
+            alpha=cfg.get('alpha', 0.0),
             enlarge_per_dim=float(enlarge_per_dim))
 
     @classmethod

@@ -18,6 +18,8 @@ observed to hit either cap. Pass ``neural_network_kwargs={'max_iter':
 10000}`` for exact reference parity.
 """
 
+import warnings
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,46 @@ from .utils.bucket import bucket_size, pad_batch
 
 
 DEFAULT_HIDDEN = (100, 50, 20)
+
+# Keys already warned about (one warning per key per process).
+_warned_network_keys = set()
+
+
+def resolve_network_kwargs(neural_network_kwargs):
+    """Map sklearn-style ``neural_network_kwargs`` onto the device trainer.
+
+    Supported keys mirror the reference's MLP configuration (reference:
+    nautilus/neural.py:79-88): ``hidden_layer_sizes``,
+    ``learning_rate_init``, ``max_iter``, ``n_iter_no_change``,
+    ``batch_size``, ``alpha`` (L2 penalty on the weight matrices; the
+    reference's default is ``alpha=0``). ``random_state`` is ignored with
+    a warning, exactly like the reference — determinism comes from the
+    sampler seed. Any other sklearn-specific key (``tol``, ``activation``,
+    ``solver``, ...) has no device-trainer equivalent and triggers a
+    one-time warning instead of silently changing behavior.
+    """
+    kwargs = dict(neural_network_kwargs or {})
+    if kwargs.pop('random_state', None) is not None:
+        warnings.warn("The 'random_state' keyword argument passed to the "
+                      "neural network is ignored; determinism comes from "
+                      "the sampler seed.", Warning, stacklevel=3)
+    cfg = dict(
+        hidden=tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN)),
+        lr=float(kwargs.pop('learning_rate_init', 1e-2)),
+        max_epochs=int(kwargs.pop('max_iter', 3000)),
+        n_iter_no_change=int(kwargs.pop('n_iter_no_change', 10)),
+        batch_size=kwargs.pop('batch_size', None),
+        alpha=float(kwargs.pop('alpha', 0.0)))
+    for key in kwargs:
+        if key not in _warned_network_keys:
+            _warned_network_keys.add(key)
+            warnings.warn(
+                "neural_network_kwargs key '{}' has no equivalent in the "
+                "on-device MLP trainer and is ignored (supported: "
+                "hidden_layer_sizes, learning_rate_init, max_iter, "
+                "n_iter_no_change, batch_size, alpha).".format(key),
+                Warning, stacklevel=3)
+    return cfg
 
 _ensemble_predict_jit = jax.jit(ensemble_predict)
 
@@ -84,8 +126,9 @@ class NeuralNetworkEmulator:
 
         ``neural_network_kwargs`` accepts the reference's tunables
         (``hidden_layer_sizes``, ``learning_rate_init``, ``max_iter``,
-        ``n_iter_no_change``, ``batch_size``); other sklearn-specific keys
-        are ignored. With ``return_predictions`` the ensemble-mean
+        ``n_iter_no_change``, ``batch_size``, ``alpha``); other
+        sklearn-specific keys are ignored with a one-time warning (see
+        :func:`resolve_network_kwargs`). With ``return_predictions`` the ensemble-mean
         prediction on the training inputs comes back in the same device
         round trip as the trained parameters.
         """
@@ -98,13 +141,12 @@ class NeuralNetworkEmulator:
         emulator.scale[emulator.scale == 0] = 1.0
         emulator.n_networks = n_networks
 
-        kwargs = dict(neural_network_kwargs or {})
-        kwargs.pop('random_state', None)
-        hidden = tuple(kwargs.pop('hidden_layer_sizes', DEFAULT_HIDDEN))
-        lr = float(kwargs.pop('learning_rate_init', 1e-2))
-        max_epochs = int(kwargs.pop('max_iter', 3000))
-        n_iter_no_change = int(kwargs.pop('n_iter_no_change', 10))
-        batch_size = kwargs.pop('batch_size', None)
+        cfg = resolve_network_kwargs(neural_network_kwargs)
+        hidden = cfg['hidden']
+        lr = cfg['lr']
+        max_epochs = cfg['max_epochs']
+        n_iter_no_change = cfg['n_iter_no_change']
+        batch_size = cfg['batch_size']
         emulator.hidden_layer_sizes = hidden
 
         n = len(x)
@@ -124,7 +166,7 @@ class NeuralNetworkEmulator:
         sizes = (x.shape[1],) + hidden + (1,)
         common = dict(n_networks=n_networks, batch_size=int(batch_size),
                       lr=lr, max_epochs=max_epochs,
-                      n_iter_no_change=n_iter_no_change)
+                      n_iter_no_change=n_iter_no_change, alpha=cfg['alpha'])
         xj = jnp.asarray(x_pad, jnp.float32)
         yj = jnp.asarray(y_pad, jnp.float32)
         mj = jnp.asarray(mask)

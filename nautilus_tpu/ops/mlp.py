@@ -99,7 +99,8 @@ def _adam_update(params, grads, m, v, t, lr, b1=0.9, b2=0.999, eps=1e-8):
          static_argnames=('sizes', 'n_networks', 'batch_size', 'max_epochs',
                           'n_iter_no_change'))
 def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
-                       lr=1e-2, max_epochs=3000, n_iter_no_change=10):
+                       lr=1e-2, max_epochs=3000, n_iter_no_change=10,
+                       alpha=0.0):
     """Train an ensemble of MLP regressors on masked data.
 
     Parameters
@@ -128,7 +129,12 @@ def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
     def batch_loss(p, xb, yb, mb):
         pred = mlp_forward(p, xb)
         sq = (pred - yb) ** 2 * mb
-        return 0.5 * jnp.sum(sq) / jnp.maximum(jnp.sum(mb), 1.0)
+        # sklearn-style L2 penalty on the weight matrices (not biases):
+        # alpha/2 * ||W||^2 / n_samples (reference: nautilus/neural.py:80,
+        # default alpha=0).
+        l2 = sum(jnp.sum(w ** 2) for w in p.weights)
+        return (0.5 * jnp.sum(sq) + 0.5 * alpha * l2) / \
+            jnp.maximum(jnp.sum(mb), 1.0)
 
     grad_fn = jax.value_and_grad(batch_loss)
 
@@ -198,14 +204,14 @@ def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
                           'n_iter_no_change'))
 def train_mlp_ensemble_packed(x, y, mask, key, sizes, n_networks=4,
                               batch_size=200, lr=1e-2, max_epochs=3000,
-                              n_iter_no_change=10):
+                              n_iter_no_change=10, alpha=0.0):
     """:func:`train_mlp_ensemble`, with all parameters flattened into one
     (n_networks, n_params) array so the host reads the trained ensemble in a
     single device->host round trip. Unpack with :func:`unflatten_params`."""
     params, n_epochs = train_mlp_ensemble(
         x, y, mask, key, sizes, n_networks=n_networks,
         batch_size=batch_size, lr=lr, max_epochs=max_epochs,
-        n_iter_no_change=n_iter_no_change)
+        n_iter_no_change=n_iter_no_change, alpha=alpha)
     flat = jnp.concatenate(
         [w.reshape(n_networks, -1) for w in params.weights] +
         [b.reshape(n_networks, -1) for b in params.biases], axis=1)
@@ -214,7 +220,7 @@ def train_mlp_ensemble_packed(x, y, mask, key, sizes, n_networks=4,
 
 def train_ensembles_multi(x, y, mask, keys, sizes, n_networks=4,
                           batch_size=200, lr=1e-2, max_epochs=3000,
-                          n_iter_no_change=10):
+                          n_iter_no_change=10, alpha=0.0):
     """Train one MLP ensemble per *group* — all groups, all networks, in a
     single computation (vmap over the group axis of the per-group trainer).
 
@@ -236,7 +242,7 @@ def train_ensembles_multi(x, y, mask, keys, sizes, n_networks=4,
         return train_mlp_ensemble(
             xg, yg, mg, kg, sizes, n_networks=n_networks,
             batch_size=batch_size, lr=lr, max_epochs=max_epochs,
-            n_iter_no_change=n_iter_no_change)
+            n_iter_no_change=n_iter_no_change, alpha=alpha)
 
     return jax.vmap(one_group)(x, y, mask, keys)
 
@@ -246,7 +252,7 @@ def train_ensembles_multi(x, y, mask, keys, sizes, n_networks=4,
                           'n_iter_no_change'))
 def train_predict_packed(x, y, mask, key, sizes, n_networks=4,
                          batch_size=200, lr=1e-2, max_epochs=3000,
-                         n_iter_no_change=10):
+                         n_iter_no_change=10, alpha=0.0):
     """Train the ensemble AND return its mean predictions on the training
     inputs in the same dispatch (the threshold calibration needs exactly
     these; reference: nautilus/bounds/neural.py:93-95). One host fetch for
@@ -254,7 +260,7 @@ def train_predict_packed(x, y, mask, key, sizes, n_networks=4,
     params, _ = train_mlp_ensemble(
         x, y, mask, key, sizes, n_networks=n_networks,
         batch_size=batch_size, lr=lr, max_epochs=max_epochs,
-        n_iter_no_change=n_iter_no_change)
+        n_iter_no_change=n_iter_no_change, alpha=alpha)
     flat = jnp.concatenate(
         [w.reshape(n_networks, -1) for w in params.weights] +
         [b.reshape(n_networks, -1) for b in params.biases], axis=1)

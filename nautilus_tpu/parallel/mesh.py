@@ -136,7 +136,7 @@ def make_distributed_sampler(mesh, likelihood, transform, n_per_device,
     return jax.jit(sharded)
 
 
-def build_ensemble_train_step(sizes, lr=1e-2, axis='dp'):
+def build_ensemble_train_step(sizes, lr=1e-2, axis='dp', alpha=0.0):
     """One ensemble-parallel Adam step: networks shard across devices.
 
     Each device updates its shard of the ensemble on the (replicated)
@@ -147,7 +147,9 @@ def build_ensemble_train_step(sizes, lr=1e-2, axis='dp'):
     def batch_loss(p, xb, yb, mb):
         pred = mlp_forward(p, xb)
         sq = (pred - yb) ** 2 * mb
-        return 0.5 * jnp.sum(sq) / jnp.maximum(jnp.sum(mb), 1.0)
+        l2 = sum(jnp.sum(w ** 2) for w in p.weights)
+        return (0.5 * jnp.sum(sq) + 0.5 * alpha * l2) / \
+            jnp.maximum(jnp.sum(mb), 1.0)
 
     grad_fn = jax.value_and_grad(batch_loss)
 

@@ -15,6 +15,7 @@ try:
     import h5py
 except ImportError:  # pragma: no cover
     h5py = None
+import logging
 import numpy as np
 import threading
 
@@ -143,6 +144,15 @@ class Sampler:
             pool = list(pool)
         except TypeError:
             pool = [pool]
+        if len(pool) > 1 and pool[1] not in (None, 1):
+            # Reference semantics: pool=(pool_l, pool_s) splits likelihood
+            # vs bound-sampling work (reference: nautilus/sampler.py
+            # pool handling). Bound sampling runs in device kernels here,
+            # so the second slot has nothing to do — nothing is lost.
+            logging.getLogger(__name__).debug(
+                'pool[1] (bound-sampling pool) is unused: bound sampling '
+                'runs in on-device kernels; only pool[0] drives host '
+                'likelihood evaluation.')
         pool_l = pool[0]
         if pool_l in [None, 1]:
             self.pool_l = None

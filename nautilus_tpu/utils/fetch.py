@@ -19,7 +19,7 @@ it defaults to off.
 
 import os
 import threading
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -125,16 +125,47 @@ def _pack_many_jit(arrays, n_pad):
     return jnp.zeros((n_pad,), jnp.int8).at[:packed.shape[0]].set(packed)
 
 
+@lru_cache(maxsize=None)
+def _replicate_jit(sharding):
+    """Jitted identity with a fully-replicated out_sharding: XLA inserts
+    the all-gather that makes every shard addressable on every process."""
+    return jax.jit(lambda v: v, out_shardings=sharding)
+
+
+def to_host(x):
+    """``np.asarray`` that also works for multi-process global arrays.
+
+    Under ``jax.distributed`` (multi-host pods; see parallel/mesh.py
+    ``init_distributed``), kernel outputs whose sharding spans devices of
+    other processes cannot be read directly — reshard to replicated first
+    via a cached jitted identity. Every process runs the sampler's control
+    loop with identical decisions (same seed, same fetched replicas), so
+    the collective is dispatched symmetrically, mirroring how the reference
+    keeps its MPI workers in lockstep (reference:
+    docs/guides/parallelization.rst "MPI Parallelization").
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh = getattr(x.sharding, 'mesh', None)
+        if mesh is not None:
+            x = _replicate_jit(NamedSharding(mesh, PartitionSpec()))(x)
+        else:
+            from jax.experimental import multihost_utils
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def fetch(x, dtype=None):
     """Fetch one device array to host, padding small payloads to the bulk
     floor. Drop-in for ``np.asarray(x)``."""
     x = jnp.asarray(x)
     nbytes = x.size * x.dtype.itemsize
     if not padding_active() or nbytes >= FETCH_FLOOR_BYTES:
-        out = np.asarray(x)
+        out = to_host(x)
     else:
         n_pad = max(FETCH_FLOOR_BYTES // max(x.dtype.itemsize, 1), 1)
-        out = np.asarray(_pad_flat_jit(x, n_pad))[:x.size].reshape(x.shape)
+        out = to_host(_pad_flat_jit(x, n_pad))[:x.size].reshape(x.shape)
     return out if dtype is None else out.astype(dtype)
 
 
@@ -146,12 +177,12 @@ def fetch_many(*arrays):
     """
     arrays = [jnp.asarray(a) for a in arrays]
     if not merge_active() or len(arrays) == 1 and not padding_active():
-        return tuple(np.asarray(a) for a in arrays)
+        return tuple(to_host(a) for a in arrays)
 
     total = sum(a.size * (1 if a.dtype == jnp.bool_ else a.dtype.itemsize)
                 for a in arrays)
     n_pad = max(total, FETCH_FLOOR_BYTES, 1)
-    buf = np.asarray(_pack_many_jit(tuple(arrays), n_pad))
+    buf = to_host(_pack_many_jit(tuple(arrays), n_pad))
 
     out = []
     offset = 0

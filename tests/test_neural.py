@@ -1,8 +1,9 @@
 """Tests for the MLP ensemble emulator (reference: tests/test_neural.py)."""
 
 import numpy as np
+import pytest
 
-from nautilus_tpu.neural import NeuralNetworkEmulator
+from nautilus_tpu.neural import NeuralNetworkEmulator, resolve_network_kwargs
 from nautilus_tpu.bounds.neural import rank_scores
 import jax
 
@@ -27,6 +28,49 @@ def test_emulator_ensemble_shape():
     assert emulator.params.weights[0].shape[0] == 3
     pred = emulator.predict(x[:10])
     assert pred.shape == (10,)
+
+
+def test_unsupported_network_kwargs_warn():
+    # The reference forwards every key to sklearn's MLPRegressor
+    # (reference: nautilus/neural.py:79-88); keys the device trainer has no
+    # equivalent for must warn instead of silently changing behavior.
+    import nautilus_tpu.neural as neural_mod
+    neural_mod._warned_network_keys.discard('solver')
+    with pytest.warns(Warning, match="solver"):
+        cfg = resolve_network_kwargs({'solver': 'lbfgs', 'max_iter': 123})
+    assert cfg['max_epochs'] == 123
+    # One-time: a second resolve of the same key stays quiet.
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter('error')
+        resolve_network_kwargs({'solver': 'lbfgs'})
+    with pytest.warns(Warning, match="random_state"):
+        resolve_network_kwargs({'random_state': 3})
+
+
+def test_emulator_alpha_l2():
+    # alpha (sklearn's L2 penalty; reference default alpha=0,
+    # nautilus/neural.py:80) shrinks the trained weights and still fits.
+    rng = np.random.default_rng(2)
+    x = rng.random((400, 2))
+    y = x[:, 0] + 0.5 * x[:, 1]
+
+    def weight_norm(emulator):
+        return float(sum(np.sum(np.asarray(w) ** 2)
+                         for w in emulator.params.weights))
+
+    em0 = NeuralNetworkEmulator.train(
+        x, y, n_networks=2, key=jax.random.key(5))
+    em1 = NeuralNetworkEmulator.train(
+        x, y, n_networks=2, neural_network_kwargs={'alpha': 1.0},
+        key=jax.random.key(5))
+    assert weight_norm(em1) < weight_norm(em0)
+    # Mild regularization must not break the fit.
+    em2 = NeuralNetworkEmulator.train(
+        x, y, n_networks=2, neural_network_kwargs={'alpha': 1e-4},
+        key=jax.random.key(5))
+    rmse = np.sqrt(np.mean((y - em2.predict(x)) ** 2))
+    assert rmse < 0.3 * np.std(y)
 
 
 def test_rank_scores():

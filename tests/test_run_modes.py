@@ -133,6 +133,44 @@ def test_dask_style_pool():
     assert sampler.n_like > 0
 
 
+class _StubMPIPoolExecutor:
+    """Duck-typed stand-in for mpi4py.futures.MPIPoolExecutor (MPI is not
+    installed in CI): map-returns-lists semantics plus the ``size``
+    attribute SamplerPool probes (reference documents MPI pools as a
+    first-class path: docs/guides/parallelization.rst)."""
+
+    size = 2
+
+    def map(self, func, iterable):
+        return [func(item) for item in iterable]
+
+
+def test_mpi_style_pool():
+    pool = SamplerPool(_StubMPIPoolExecutor())
+    assert pool.size == 2
+    assert pool.map(lambda x: x * 2, [1, 2]) == [2, 4]
+
+    prior, likelihood = _make_problem(False, False, 0)
+    sampler = Sampler(prior, likelihood, n_live=100, n_networks=0, seed=2,
+                      vectorized=False, pass_dict=False,
+                      pool=_StubMPIPoolExecutor())
+    sampler.run(f_live=0.4, n_eff=150, n_like_max=1200)
+    assert sampler.n_like > 0
+
+
+def test_tuple_pool_first_slot_used():
+    # Reference accepts pool=(pool_l, pool_s); device kernels replace the
+    # bound-sampling pool here, so only the first slot drives likelihoods
+    # (docs/parallelization.md "Host pools").
+    prior, likelihood = _make_problem(False, False, 0)
+    sampler = Sampler(prior, likelihood, n_live=100, n_networks=0, seed=2,
+                      vectorized=False, pass_dict=False,
+                      pool=(_StubMPIPoolExecutor(), _StubMPIPoolExecutor()))
+    assert sampler.pool_l is not None and sampler.pool_l.size == 2
+    sampler.run(f_live=0.4, n_eff=150, n_like_max=1200)
+    assert sampler.n_like > 0
+
+
 def test_executor_pool():
     prior, likelihood = _make_problem(False, False, 0)
     with ThreadPoolExecutor(max_workers=2) as executor:
