@@ -57,11 +57,11 @@ def make_problem():
     return prior, likelihood
 
 
-def one_run(prior, likelihood, seed):
+def one_run(prior, likelihood, seed, mesh=None):
     # Default n_batch (= n_live on the device path): one fused batch per
     # exploration cycle, the latency-minimal host loop on remote TPU links.
     sampler = Sampler(prior, likelihood, n_live=1000, seed=seed,
-                      vectorized='jax')
+                      vectorized='jax', mesh=mesh)
     t_start = time.time()
     success = sampler.run()
     return sampler, success, time.time() - t_start
@@ -93,6 +93,24 @@ def main():
               {k: round(v, 1) for k, v in sampler.timing.items()}),
           file=sys.stderr)
 
+    # MESH-OVERHEAD GUARD: the same configuration on an explicit 1-device
+    # mesh. The GSPMD sharding annotations must be free on one chip
+    # (overhead <= ~5%); a regression here would silently tax every
+    # multi-chip run. First mesh run warms the mesh-variant executables,
+    # the second is the measured one.
+    mesh1_s = mesh1_overhead = None
+    if '--no-mesh1' not in sys.argv:
+        from nautilus_tpu.parallel import make_mesh
+        mesh = make_mesh(1)
+        one_run(prior, likelihood, seed=0, mesh=mesh)
+        sampler_m, success_m, mesh1_s = one_run(
+            prior, likelihood, seed=0, mesh=mesh)
+        mesh1_overhead = mesh1_s / elapsed - 1.0
+        print('mesh1: success={} logZ={:.4f} {:.2f}s '
+              '(overhead {:+.1%} vs mesh=None)'.format(
+                  success_m, sampler_m.log_z, mesh1_s, mesh1_overhead),
+              file=sys.stderr)
+
     link = warmup_seconds()
     print(json.dumps({
         'metric': 'time_to_logz_3d_gaussian_nlive1000_neff10k',
@@ -105,6 +123,11 @@ def main():
         # device->host connection stall (30-200 s observed on this
         # link), overlapped with compilation but unavoidable.
         'link_stall_s': None if link is None else round(link, 2),
+        # 1-device-mesh steady run: sharding-annotation overhead guard
+        # (must stay ~0; see VERDICT r4 item 5).
+        'mesh1_s': None if mesh1_s is None else round(mesh1_s, 2),
+        'mesh1_overhead': (None if mesh1_overhead is None
+                           else round(mesh1_overhead, 3)),
     }))
 
 

@@ -186,16 +186,21 @@ class UnitCube:
 
     @classmethod
     def compute(cls, n_dim, keys=None):
+        """Create a unit-cube bound (reference:
+        nautilus/bounds/basic.py:69-97)."""
         bound = cls()
         bound.n_dim = n_dim
         bound.keys = keys if keys is not None else KeyStream()
         return bound
 
     def contains(self, points):
+        """Whether each point lies inside the bound."""
         points = np.asarray(points)
         return np.asarray(np.all((points >= 0) & (points < 1), axis=-1))
 
     def sample(self, n_points=100, pool=None):
+        """Draw uniform points; ``pool`` is accepted for API parity (sampling
+        runs on device)."""
         n_pad = bucket_size(n_points)
         points = jax.random.uniform(
             self.keys.next(), (n_pad, self.n_dim))
@@ -203,14 +208,17 @@ class UnitCube:
 
     @property
     def log_v(self):
+        """Natural log of the bound volume."""
         return 0.0
 
     def write(self, group):
+        """Serialize the bound into an HDF5 group."""
         group.attrs['type'] = 'UnitCube'
         group.attrs['n_dim'] = self.n_dim
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the bound from an HDF5 group."""
         bound = cls()
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])
@@ -236,6 +244,7 @@ class Ellipsoid:
 
     @classmethod
     def compute(cls, points, enlarge_per_dim=1.1, keys=None):
+        """Fit an enlarged minimum-volume enclosing ellipsoid to ``points``."""
         points = np.asarray(points)
         bound = cls()
         bound.n_dim = points.shape[1]
@@ -254,27 +263,33 @@ class Ellipsoid:
         return bound
 
     def transform(self, points, inverse=False):
+        """Map points into (``inverse=False``) or out of the bound's
+        unit-ball frame."""
         pts, n = pad_batch(points)
         if not inverse:
             return fetch(_ell_transform_jit(self.params, pts))[:n]
         return fetch(_ell_transform_inv_jit(self.params, pts))[:n]
 
     def contains(self, points):
+        """Whether each point lies inside the ellipsoid."""
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
         result = fetch(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
+        """Draw points distributed uniformly over the bound."""
         n_pad = bucket_size(n_points)
         points = _ell_sample_jit(self.params, self.keys.next(), n_pad)
         return fetch(points)[:n_points].astype(np.float64)
 
     @property
     def log_v(self):
+        """Natural log of the ellipsoid volume."""
         return float(self.params.log_v)
 
     def write(self, group):
+        """Serialize the ellipsoid into an HDF5 group."""
         group.attrs['type'] = 'Ellipsoid'
         group.attrs['n_dim'] = self.n_dim
         for key in ['c', 'B', 'B_inv', 'dim_mask', 'dim_cube', 'log_v']:
@@ -282,6 +297,7 @@ class Ellipsoid:
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the ellipsoid from an HDF5 group."""
         bound = cls()
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])
@@ -318,6 +334,8 @@ class UnitCubeEllipsoidMixture:
 
     @classmethod
     def compute(cls, points, enlarge_per_dim=1.1, keys=None):
+        """Fit the mixture: greedy dim-drop picks which dimensions stay
+        cube-bounded, the rest get an enlarged MVEE."""
         points = np.asarray(points)
         pts, mask = pad_points(points, floor=2048)
         bound = cls()
@@ -406,23 +424,28 @@ class UnitCubeEllipsoidMixture:
         return fetch(_ell_transform_jit(self.params, pts))[:n]
 
     def contains(self, points):
+        """Whether each point satisfies both the cube dims and the ellipsoid
+        dims."""
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
         result = fetch(_ell_contains_jit(self.params, pts))[:n]
         return result[0] if single else result
 
     def sample(self, n_points=100):
+        """Draw points distributed uniformly over the mixture."""
         n_pad = bucket_size(n_points)
         points = _ell_sample_jit(self.params, self.keys.next(), n_pad)
         return fetch(points)[:n_points].astype(np.float64)
 
     @property
     def log_v(self):
+        """Natural log of the mixture volume."""
         if not bool(np.any(~self.dim_cube)):
             return 0.0
         return float(self.params.log_v)
 
     def write(self, group):
+        """Serialize the mixture into an HDF5 group."""
         group.attrs['type'] = 'UnitCubeEllipsoidMixture'
         group.attrs['n_dim'] = self.n_dim
         for key in ['c', 'B', 'B_inv', 'dim_mask', 'dim_cube', 'log_v']:
@@ -430,6 +453,7 @@ class UnitCubeEllipsoidMixture:
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the mixture from an HDF5 group."""
         bound = cls()
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])

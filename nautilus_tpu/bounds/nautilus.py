@@ -255,11 +255,13 @@ class NautilusBound:
             bound.shift = None
 
         from .basic import unpack_ell
+        from ..utils.prof import region
         npm = int(n_points_min) if n_points_min is not None else d + 1
-        packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(
-            pts_dev, log_l_dev, valid_dev,
-            jnp.asarray(log_l_min, jnp.float32), bound.keys.next(),
-            bound.keys.next(), float(enlarge_per_dim), npm)
+        with region('bound.prologue_dispatch'):
+            packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(
+                pts_dev, log_l_dev, valid_dev,
+                jnp.asarray(log_l_min, jnp.float32), bound.keys.next(),
+                bound.keys.next(), float(enlarge_per_dim), npm)
 
         # Speculative fused neural build on the root mode, dispatched
         # before any fetch; the mode prefilter + compact + full training
@@ -269,17 +271,19 @@ class NautilusBound:
         # wasted device compute queues ahead of the real build.
         spec = None
         if n_networks > 0 and expect_modes <= 1 and speculate:
-            from .neural import _mode_sel_jit, _compact_sel_jit
-            cfg = NeuralBound._build_config(d, neural_network_kwargs)
-            ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
-            sel, n_sel_dev = _mode_sel_jit(
-                pts_dev, valid_dev, ell1, jnp.ones(1, bool))
-            pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
-                pts_dev, log_l_dev, above, sel, cls.SPEC_COMPACT)
-            small, flat = NeuralBound.dispatch_build(
-                pts_c, log_l_c, above_c, valid_c, ell1, np.ones(1, bool),
-                1, bound.keys, n_networks, cfg, enlarge_per_dim)
-            spec = (small, flat, n_sel_dev)
+            with region('bound.spec_dispatch'):
+                from .neural import _mode_sel_jit, _compact_sel_jit
+                cfg = NeuralBound._build_config(d, neural_network_kwargs)
+                ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
+                sel, n_sel_dev = _mode_sel_jit(
+                    pts_dev, valid_dev, ell1, jnp.ones(1, bool))
+                pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
+                    pts_dev, log_l_dev, above, sel, cls.SPEC_COMPACT)
+                small, flat = NeuralBound.dispatch_build(
+                    pts_c, log_l_c, above_c, valid_c, ell1,
+                    np.ones(1, bool), 1, bound.keys, n_networks, cfg,
+                    enlarge_per_dim)
+                spec = (small, flat, n_sel_dev)
 
         if spec is not None:
             # Merged fetch: spec[0] is a training output, so this waits
@@ -289,13 +293,15 @@ class NautilusBound:
             # skips speculation). Splitting the fetch to decide first
             # would instead cost one extra round trip on EVERY unimodal
             # bound, the overwhelmingly common case.
-            packed, spec_small, n_sel_spec = fetch_many(
-                packed_dev, spec[0], spec[2])
+            with region('bound.prologue+spec_fetch'):
+                packed, spec_small, n_sel_spec = fetch_many(
+                    packed_dev, spec[0], spec[2])
             packed = packed.astype(np.float64)
             spec_fits = int(n_sel_spec) <= cls.SPEC_COMPACT
             bound.spec_overflow = not spec_fits
         else:
-            packed = fetch(packed_dev, np.float64)
+            with region('bound.prologue_fetch'):
+                packed = fetch(packed_dev, np.float64)
             spec_fits = False
             bound.spec_overflow = False
 
@@ -327,20 +333,22 @@ class NautilusBound:
         # volume-must-shrink; reference: nautilus/bounds/union.py:195-213),
         # then continue the serial masked split loop only if it succeeded.
         from .union import split_accept
-        multi_ellipsoid = Union.compute_masked(
-            pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
-            n_points_min=n_points_min, bound_class=Ellipsoid,
-            keys=bound.keys, params0=mode_params0)
+        with region('bound.mode_union'):
+            multi_ellipsoid = Union.compute_masked(
+                pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+                n_points_min=n_points_min, bound_class=Ellipsoid,
+                keys=bound.keys, params0=mode_params0)
         split_ok = (
             not bool(multi_ellipsoid.block[0]) and
             not ellipsoids_overlap(child_params) and
             split_accept(float(mode_params0.log_v),
                          [float(p.log_v) for p in child_params]))
         if split_ok:
-            multi_ellipsoid._adopt_first_split(
-                child_params, [m0, m1], child_counts)
-            while multi_ellipsoid.split(allow_overlap=False):
-                pass
+            with region('bound.mode_split_loop'):
+                multi_ellipsoid._adopt_first_split(
+                    child_params, [m0, m1], child_counts)
+                while multi_ellipsoid.split(allow_overlap=False):
+                    pass
 
         if spec is not None and spec_fits and not split_ok:
             # Mode finding stayed unimodal and the compacted block held
@@ -351,20 +359,23 @@ class NautilusBound:
                 n_networks, bound.keys)
             bound.neural_flat = spec[1]
         else:
-            bound.neural_bounds, bound.neural_flat = \
-                NeuralBound.compute_batched_device(
-                    pts_dev, log_l_dev, valid_dev, above,
-                    multi_ellipsoid.params_list,
-                    enlarge_per_dim=enlarge_per_dim, n_networks=n_networks,
-                    neural_network_kwargs=neural_network_kwargs,
-                    keys=bound.keys,
-                    n_sel=n_sel_root if not split_ok else None)
+            with region('bound.neural_build'):
+                bound.neural_bounds, bound.neural_flat = \
+                    NeuralBound.compute_batched_device(
+                        pts_dev, log_l_dev, valid_dev, above,
+                        multi_ellipsoid.params_list,
+                        enlarge_per_dim=enlarge_per_dim,
+                        n_networks=n_networks,
+                        neural_network_kwargs=neural_network_kwargs,
+                        keys=bound.keys,
+                        n_sel=n_sel_root if not split_ok else None)
 
-        bound.outer_bound = Union.compute_masked(
-            pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
-            n_points_min=n_points_min,
-            bound_class=UnitCubeEllipsoidMixture, keys=bound.keys,
-            params0=outer_params0)
+        with region('bound.outer_union'):
+            bound.outer_bound = Union.compute_masked(
+                pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+                n_points_min=n_points_min,
+                bound_class=UnitCubeEllipsoidMixture, keys=bound.keys,
+                params0=outer_params0)
         if outer_params0 is not None:
             # Seed the MC volume estimate from the prologue's counters —
             # the split-until decision below reads log_v for free.
@@ -372,12 +383,13 @@ class NautilusBound:
             bound.outer_bound.n_reject += int(mc_tot - mc_acc)
 
         log_v_threshold = np.log(split_threshold * enlarge_per_dim ** d)
-        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
-            if not bound.outer_bound.split():
-                break
-        while bound.outer_bound.log_v - log_v_target > log_v_threshold:
-            if not bound.outer_bound.trim():
-                break
+        with region('bound.outer_split_trim'):
+            while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+                if not bound.outer_bound.split():
+                    break
+            while bound.outer_bound.log_v - log_v_target > log_v_threshold:
+                if not bound.outer_bound.trim():
+                    break
 
         bound.points = np.zeros((0, d))
         bound.n_sample = 0
@@ -536,6 +548,7 @@ class NautilusBound:
         return self.neural_flat
 
     def contains(self, points):
+        """Whether each point lies in the neural union (fused stack kernel)."""
         single = np.asarray(points).ndim == 1
         points = np.atleast_2d(np.asarray(points, np.float64))
         if self.shift is not None:
@@ -581,6 +594,7 @@ class NautilusBound:
 
     @property
     def log_v(self):
+        """Natural log of the estimated bound volume."""
         if self.n_sample == 0:
             self.sample(return_points=False)
         return float(self.outer_bound.log_v +
@@ -602,6 +616,7 @@ class NautilusBound:
     # ------------------------------------------------------------------ #
 
     def write(self, group):
+        """Serialize the full bound tree into an HDF5 group."""
         group.attrs['type'] = 'NautilusBound'
         group.attrs['n_dim'] = self.n_dim
         if self.shift is not None:
@@ -616,6 +631,8 @@ class NautilusBound:
         group.attrs['n_reject'] = self.n_reject
 
     def update(self, group):
+        """Refresh the serialized sampling counters in an existing HDF5
+        group."""
         group.attrs['n_sample'] = self.n_sample
         group.attrs['n_reject'] = self.n_reject
         self.outer_bound.update(group['outer_bound'])
@@ -624,6 +641,7 @@ class NautilusBound:
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the bound tree from an HDF5 group."""
         bound = cls()
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])

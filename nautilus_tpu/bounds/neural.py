@@ -414,6 +414,8 @@ class NeuralBound:
             small, flat, m, d, cfg, n_networks, keys), flat
 
     def contains(self, points):
+        """Whether each point passes the outer ellipsoid AND the emulated
+        likelihood-score cut."""
         points = np.atleast_2d(np.asarray(points))
         in_bound = np.array(self.outer_bound.contains(points))
         if np.any(in_bound) and self.emulator is not None:
@@ -430,6 +432,8 @@ class NeuralBound:
         self.outer_bound.reset(keys)
 
     def write(self, group):
+        """Serialize the bound (outer ellipsoid, emulator weights, cut) into
+        an HDF5 group."""
         group.attrs['n_dim'] = self.n_dim
         group.attrs['score_predict_min'] = self.score_predict_min
         self.outer_bound.write(group.create_group('outer_bound'))
@@ -438,6 +442,7 @@ class NeuralBound:
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the bound from an HDF5 group."""
         bound = cls()
         if keys is None:
             keys = KeyStream()

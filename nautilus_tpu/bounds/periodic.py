@@ -17,6 +17,8 @@ class PhaseShift:
 
     @classmethod
     def compute(cls, points, periodic):
+        """Center periodic dimensions on the largest empty gap so wrapped
+        modes become contiguous (reference: nautilus/bounds/periodic.py)."""
         shift = cls()
         shift.periodic = np.asarray(periodic, int)
         shift.centers = np.zeros(len(shift.periodic))
@@ -37,6 +39,7 @@ class PhaseShift:
         return vec
 
     def transform(self, points, inverse=False):
+        """Apply (or invert) the periodic phase shift to unit-cube points."""
         points_t = np.copy(np.asarray(points, np.float64))
         sign = -1 if inverse else +1
         for i, dim in enumerate(self.periodic):
@@ -45,12 +48,14 @@ class PhaseShift:
         return points_t
 
     def write(self, group):
+        """Serialize the shift vector into an HDF5 group."""
         group.attrs['type'] = 'PhaseShift'
         group.attrs['periodic'] = self.periodic
         group.attrs['centers'] = self.centers
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the phase shift from an HDF5 group."""
         shift = cls()
         shift.periodic = np.asarray(group.attrs['periodic'], int)
         shift.centers = np.asarray(group.attrs['centers'])

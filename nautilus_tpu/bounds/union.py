@@ -239,6 +239,9 @@ class Union:
     @classmethod
     def compute(cls, points, enlarge_per_dim=1.1, n_points_min=None,
                 unit=True, bound_class=Ellipsoid, keys=None):
+        """Create a single-member union enclosing ``points`` (reference:
+        nautilus/bounds/union.py:63-122); grow it later with
+        :meth:`split`."""
         points = np.asarray(points)
         bound = cls()
         bound.n_dim = points.shape[1]
@@ -528,6 +531,7 @@ class Union:
     # queries
 
     def contains(self, points):
+        """Whether each point lies in any member bound (fused stack kernel)."""
         single = np.asarray(points).ndim == 1
         pts, n = pad_batch(points)
         stacked, member_mask = self._stacked()
@@ -559,6 +563,7 @@ class Union:
 
     @property
     def log_v(self):
+        """Natural log of the estimated union volume."""
         if self.n_sample == 0:
             # Counter-only MC seeding: an 8-byte fetch instead of a point
             # batch (the points would be redrawn anyway).
@@ -575,6 +580,7 @@ class Union:
     # persistence
 
     def write(self, group):
+        """Serialize the union (members, MC volume state) into an HDF5 group."""
         group.attrs['type'] = 'Union'
         group.attrs['n_dim'] = self.n_dim
         group.attrs['enlarge_per_dim'] = self.enlarge_per_dim
@@ -597,6 +603,7 @@ class Union:
                              maxshape=(None, self.n_dim))
 
     def update(self, group):
+        """Refresh the serialized MC volume state in an existing HDF5 group."""
         group.attrs['n_sample'] = self.n_sample
         group.attrs['n_reject'] = self.n_reject
         group['points'].resize(self.points.shape)
@@ -604,6 +611,7 @@ class Union:
 
     @classmethod
     def read(cls, group, keys=None):
+        """Reconstruct the union from an HDF5 group."""
         bound = cls()
         bound.keys = keys if keys is not None else KeyStream()
         bound.n_dim = int(group.attrs['n_dim'])

@@ -190,6 +190,7 @@ class NeuralNetworkEmulator:
             _ensemble_predict_jit(self.params, x_t), np.float64)[:n]
 
     def write(self, group):
+        """Serialize scaling and ensemble weights into an HDF5 group."""
         group.attrs['n_networks'] = self.n_networks
         group.attrs['hidden_layer_sizes'] = np.asarray(
             self.hidden_layer_sizes)
@@ -202,6 +203,7 @@ class NeuralNetworkEmulator:
 
     @classmethod
     def read(cls, group):
+        """Reconstruct a trained emulator from an HDF5 group."""
         emulator = cls()
         emulator.n_networks = int(group.attrs['n_networks'])
         emulator.hidden_layer_sizes = tuple(

@@ -69,6 +69,7 @@ class Prior:
 
     @property
     def free_dists(self):
+        """The distributions of the free (non-fixed, non-aliased) parameters."""
         return [d for d in self.dists
                 if not isinstance(d, (numbers.Number, str))]
 

@@ -45,6 +45,7 @@ from .prior import Prior
 from .utils.bucket import bucket_size, pad_batch
 from .utils.fetch import fetch, fetch_many, put_tree, warmup
 from .utils.keys import KeyStream
+from .utils.prof import region as prof_region
 
 # Compiled phase callables shared across Sampler instances with identical
 # (likelihood, prior, batching) configuration — repeat runs in one process
@@ -525,6 +526,7 @@ class Sampler:
 
     @property
     def discard_exploration(self):
+        """Whether exploration-phase points are excluded from the estimates."""
         return self._discard_exploration
 
     @discard_exploration.setter
@@ -635,7 +637,9 @@ class Sampler:
                     contains_future = _slot_contains_jit(
                         stack, len(self.bounds) - 1, pts_pad)
                 if self.arena.device:
-                    counters, bits_np = fetch_many(mc_future, bits_future)
+                    with prof_region('bound.mc_transfer_fetch'):
+                        counters, bits_np = fetch_many(mc_future,
+                                                       bits_future)
                 else:
                     counters = fetch(mc_future)
                 counters = counters.astype(int)
@@ -1850,6 +1854,7 @@ class Sampler:
         return np.sum(sum_w) ** 2 / np.sum(sum_w_sq)
 
     def effective_sample_size(self):
+        """Deprecated alias of :attr:`n_eff` (reference parity)."""
         warn("'effective_sample_size' is deprecated. Use the property "
              "'n_eff' instead.", DeprecationWarning, stacklevel=2)
         return self.n_eff
@@ -1864,6 +1869,7 @@ class Sampler:
             self.shell_log_l[select] + self.shell_log_v[select])
 
     def evidence(self):
+        """Deprecated alias of :attr:`log_z` (reference parity)."""
         warn("'evidence' is deprecated. Use the property 'log_z' instead.",
              DeprecationWarning, stacklevel=2)
         return self.log_z
@@ -1878,6 +1884,7 @@ class Sampler:
             shell_log_z - 0.5 * np.log(shell_eta)))
 
     def asymptotic_sampling_efficiency(self):
+        """Deprecated alias of :attr:`eta` (reference parity)."""
         warn("'asymptotic_sampling_efficiency' is deprecated. Use the "
              "property 'eta' instead.", DeprecationWarning, stacklevel=2)
         return self.eta

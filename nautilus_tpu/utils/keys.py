@@ -46,6 +46,7 @@ class KeyStream:
 
     @property
     def state(self):
+        """Serializable counter state (for checkpoints); assignable."""
         return {'seed': self._seed, 'counter': self._counter}
 
     @state.setter
