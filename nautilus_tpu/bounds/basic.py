@@ -18,6 +18,7 @@ from ..ops.linalg import inv_psd, slogdet_masked, _fix_dropped_dims
 from ..utils.bucket import bucket_size, pad_batch, pad_points
 from ..utils.fetch import fetch
 from ..utils.keys import KeyStream
+from ..utils import prewarm
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -364,6 +365,9 @@ class UnitCubeEllipsoidMixture:
         (reference control flow: nautilus/bounds/basic.py:496-528); if even
         the best ellipsoid exceeds the cube, grow the ellipsoid dimension
         set from empty instead (reference: basic.py:535-551)."""
+        n_blk = int(pts.shape[0])
+        prewarm.submit_like(_ucem_greedy_jit, {n_blk: 2 * n_blk}, pts,
+                            mask, enlarge_per_dim)
         vec = fetch(_ucem_greedy_jit(pts, mask, enlarge_per_dim),
                     np.float32)
         dim_cube = vec[-n_dim:] > 0.5
@@ -380,6 +384,10 @@ class UnitCubeEllipsoidMixture:
             params = None
             log_v = 0.0
             n_packed = n_dim + 2 * n_dim * n_dim + 1
+            prewarm.submit_like(_grow_candidates_jit,
+                                {n_blk: 2 * n_blk}, pts, mask,
+                                jnp.asarray(np.ones(n_dim, bool)),
+                                enlarge_per_dim)
             while np.any(dim_cube):
                 packed = fetch(_grow_candidates_jit(
                     pts, mask, jnp.asarray(dim_cube), enlarge_per_dim),

@@ -20,6 +20,7 @@ from ..ops.neural_stack import NeuralStack, nautilus_sample_batch, \
 from ..utils.bucket import bucket_size, pad_batch
 from ..utils.fetch import fetch, fetch_many, put_tree
 from ..utils.keys import KeyStream
+from ..utils import prewarm
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
 from .periodic import PhaseShift
@@ -258,10 +259,16 @@ class NautilusBound:
         from ..utils.prof import region
         npm = int(n_points_min) if n_points_min is not None else d + 1
         with region('bound.prologue_dispatch'):
+            key_a, key_b = bound.keys.next(), bound.keys.next()
+            n_blk = int(pts_dev.shape[0])
+            prewarm.submit_like(
+                _bound_prologue_jit, {n_blk: 2 * n_blk}, pts_dev,
+                log_l_dev, valid_dev, jnp.asarray(0.0, jnp.float32),
+                key_a, key_b, float(enlarge_per_dim), npm)
             packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(
                 pts_dev, log_l_dev, valid_dev,
-                jnp.asarray(log_l_min, jnp.float32), bound.keys.next(),
-                bound.keys.next(), float(enlarge_per_dim), npm)
+                jnp.asarray(log_l_min, jnp.float32), key_a, key_b,
+                float(enlarge_per_dim), npm)
 
         # Speculative fused neural build on the root mode, dispatched
         # before any fetch; the mode prefilter + compact + full training

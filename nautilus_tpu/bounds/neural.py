@@ -18,6 +18,7 @@ from ..ops import geometry as G
 from ..utils.fetch import fetch
 from ..utils.bucket import pad_points
 from ..utils.keys import KeyStream
+from ..utils import prewarm
 from .basic import Ellipsoid, unpack_ell
 
 
@@ -314,6 +315,15 @@ class NeuralBound:
         on device for the run-level bound stack.
         """
         mode_keys = keys.next_n(m_pad)
+        n_pts = int(pts.shape[0])
+        prewarm.submit_like(
+            _batched_build_jit, {n_pts: 2 * n_pts}, pts, log_l, above,
+            valid, ell_stacked, jnp.asarray(mode_mask), mode_keys,
+            sizes=cfg['sizes'], n_networks=n_networks,
+            batch_size=cfg['batch_size'], max_epochs=cfg['max_epochs'],
+            n_iter_no_change=cfg['n_iter_no_change'], lr=cfg['lr'],
+            alpha=cfg.get('alpha', 0.0),
+            enlarge_per_dim=float(enlarge_per_dim))
         return _batched_build_jit(
             pts, log_l, above, valid, ell_stacked, jnp.asarray(mode_mask),
             mode_keys, sizes=cfg['sizes'], n_networks=n_networks,
@@ -378,12 +388,18 @@ class NeuralBound:
         m_pad = bucket_size(m, floor=1)
 
         ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
+        n_blk = int(pts_dev.shape[0])
+        prewarm.submit_like(_mode_sel_jit, {n_blk: 2 * n_blk}, pts_dev,
+                            valid_dev, ell_stacked, jnp.asarray(mode_mask))
         sel, n_sel_dev = _mode_sel_jit(pts_dev, valid_dev, ell_stacked,
                                        jnp.asarray(mode_mask))
         if n_sel is None:
             n_sel = int(fetch(n_sel_dev))
         n_sel = max(int(n_sel), 1)
         size = bucket_size(n_sel, floor=4096)
+        for subs in ({n_blk: 2 * n_blk}, {size: 2 * size}):
+            prewarm.submit_like(_compact_sel_jit, subs, pts_dev,
+                                log_l_dev, above_dev, sel, size)
         pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
             pts_dev, log_l_dev, above_dev, sel, size)
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..utils.bucket import bucket_size
 from ..utils.fetch import fetch
+from ..utils import prewarm
 
 # Initial capacity. High floor: a capacity change re-shapes the arena
 # buffers and forces a recompile of the whole-phase executables, so start
@@ -118,6 +119,7 @@ class PointArena:
         self.device = bool(device)
         self.n = 0
         self._cache = np.zeros((0, n_dim))
+        self._sorted_sizes = set()
         if self.device:
             self.capacity = bucket_size(capacity, floor=ARENA_FLOOR)
             self.d_pts = jnp.zeros((self.capacity, n_dim), jnp.float32)
@@ -137,6 +139,19 @@ class PointArena:
         self.d_pts, self.d_log_l, self.d_alive, self.d_shell = _grow_jit(
             self.d_pts, self.d_log_l, self.d_alive, self.d_shell, new_cap)
         self.capacity = new_cap
+        self._prewarm_growth()
+
+    def _prewarm_growth(self):
+        """Background-compile the capacity-keyed executables of the NEXT
+        arena growth so the transition never stalls the run (measured at
+        10+ s per deserialized ``_grow_jit`` at 50-D; see ROADMAP.md)."""
+        cap, nxt = self.capacity, self.capacity * 2
+        prewarm.submit_like(_grow_jit, {}, self.d_pts, self.d_log_l,
+                            self.d_alive, self.d_shell, nxt)
+        for size in self._sorted_sizes:
+            prewarm.submit_like(_compact_sorted_jit, {cap: nxt},
+                                self.d_pts, self.d_log_l, self.d_alive,
+                                size)
 
     def append_buf(self, buf, k, shell=0):
         """Append the first ``k`` rows of a device buffer whose columns are
@@ -144,6 +159,13 @@ class PointArena:
         Returns the new rows' arena ids."""
         assert self.device
         self._ensure_capacity(self.n + int(buf.shape[0]))
+        if self.n > self.capacity // 2:
+            self._prewarm_growth()
+            prewarm.submit_like(
+                _append_jit, {self.capacity: self.capacity * 2},
+                self.d_pts, self.d_log_l, self.d_alive, self.d_shell, buf,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32))
         self.d_pts, self.d_log_l, self.d_alive, self.d_shell = _append_jit(
             self.d_pts, self.d_log_l, self.d_alive, self.d_shell, buf,
             jnp.asarray(self.n, jnp.int32), jnp.asarray(k, jnp.int32),
@@ -160,6 +182,8 @@ class PointArena:
             pts, log_l, alive, shell
         ids = np.arange(self.n, self.n + int(n_new))
         self.n += int(n_new)
+        if self.n > self.capacity // 2:
+            self._prewarm_growth()
         return ids
 
     def append_host(self, points):
@@ -224,6 +248,11 @@ class PointArena:
         sorted ascending in log_l — the input to bound construction."""
         assert self.device
         size = min(size, self.capacity)
+        self._sorted_sizes.add(size)
+        if size * 2 <= self.capacity:
+            prewarm.submit_like(_compact_sorted_jit, {size: size * 2},
+                                self.d_pts, self.d_log_l, self.d_alive,
+                                size)
         return _compact_sorted_jit(
             self.d_pts, self.d_log_l, self.d_alive, size)
 

@@ -46,6 +46,7 @@ from .utils.bucket import bucket_size, pad_batch
 from .utils.fetch import fetch, fetch_many, put_tree, warmup
 from .utils.keys import KeyStream
 from .utils.prof import region as prof_region
+from .utils import prewarm
 
 # Compiled phase callables shared across Sampler instances with identical
 # (likelihood, prior, batching) configuration — repeat runs in one process
@@ -618,6 +619,11 @@ class Sampler:
                 # counter fetch.
                 self.bounds.append(bound)
                 stack = self._stack_insert(len(self.bounds) - 1, bound)
+                subs = self._prewarm_subs(stack)
+                prewarm.submit_like(
+                    _mc_volume_jit, subs, stack, len(self.bounds) - 1,
+                    self.keys.key_at(self.keys.state['counter']),
+                    1000, 1024, 8192)
                 mc_future = _mc_volume_jit(
                     stack, len(self.bounds) - 1, self.keys.next(),
                     1000, 1024, 8192)
@@ -626,6 +632,10 @@ class Sampler:
                     # Containment of every arena row in the new bound: a
                     # bit-packed n/8-byte fetch; the updated alive mask
                     # stays on device.
+                    prewarm.submit_like(
+                        _arena_transfer_split_jit, subs, stack,
+                        len(self.bounds) - 1, self.arena.d_pts,
+                        self.arena.d_alive)
                     bits_future, alive_new = _arena_transfer_split_jit(
                         stack, len(self.bounds) - 1, self.arena.d_pts,
                         self.arena.d_alive)
@@ -863,6 +873,19 @@ class Sampler:
                 neural=neural, shift=stacked('shift'),
                 bound_mask=bound_mask))
         return self._bound_stack
+
+    def _prewarm_subs(self, stack=None):
+        """Dim-substitution map for imminent bucket transitions (arena
+        capacity, bound-stack pad) — see utils.prewarm. Empty when no
+        transition is near, which makes the submits cheap no-ops."""
+        subs = {}
+        if self.arena.device and self.arena.n > self.arena.capacity // 2:
+            subs[self.arena.capacity] = self.arena.capacity * 2
+        if stack is not None:
+            b_pad = int(stack.bound_mask.shape[0])
+            if len(self.bounds) >= b_pad - 1:
+                subs[b_pad] = 2 * b_pad
+        return subs
 
     def _stack_insert(self, index, bound):
         """Write a freshly built bound into the cached run stack.
@@ -1119,10 +1142,14 @@ class Sampler:
                 m2[i] = 2.0 * m
                 s2[i] = float(np.sum(np.exp(2.0 * (ll - m))))
 
-        out = self._phase_step()(
+        phase_fn = self._phase_step()
+        phase_args = (
             stack, self.keys.next(), shell_n, shell_ns, m1, s1, m2, s2,
             bound_log_v, blocked, np.int32(n_shell),
             np.float32(n_eff_target), self._batch_budget(n_like_max))
+        prewarm.submit_like(phase_fn, self._prewarm_subs(stack),
+                            *phase_args)
+        out = phase_fn(*phase_args)
         # Two-step fetch: metadata first (tiny), then only the
         # log-likelihoods of the rows the phase actually filled — the
         # coordinates go straight from the phase buffer into the device
@@ -1284,7 +1311,8 @@ class Sampler:
                 m1[i] = m
                 s1[i] = float(np.sum(np.exp(ll - m)))
 
-        out = self._explore_phase_step()(
+        explore_fn = self._explore_phase_step()
+        explore_args = (
             self.arena.d_pts, self.arena.d_log_l, self.arena.d_alive,
             self.arena.d_shell, jnp.asarray(self.arena.n, jnp.int32),
             stack, self.keys.next(), jnp.asarray(index, jnp.int32),
@@ -1294,6 +1322,9 @@ class Sampler:
             np.int32(self.n_update - self.n_update_iter),
             np.int32(self.n_like_new_bound - self.n_like_iter),
             np.float32(f_live_target), self._batch_budget(n_like_max))
+        prewarm.submit_like(explore_fn, self._prewarm_subs(stack),
+                            *explore_args)
+        out = explore_fn(*explore_args)
         pts_a, log_l_a, alive_a, shell_a, log_l_buf, blob_bufs, meta, \
             n_used = out
         # One transfer for everything the host needs from this dispatch:
@@ -1390,6 +1421,9 @@ class Sampler:
         stack = self._ensure_stack()
         need_member = self._need_member(index)
         step = self._fused_step(need_member)
+        prewarm.submit_like(step, self._prewarm_subs(self._ensure_stack()),
+                            self._ensure_stack(), jnp.asarray(0, jnp.int32),
+                            self.keys.key_at(self.keys.state['counter']))
         bound = self.bounds[index]
         fused_like = self.vectorized == 'jax'
         use_transfer = shell == -1 and len(self.shell_t) > 0

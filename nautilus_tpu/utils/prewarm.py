@@ -1,0 +1,121 @@
+"""Background executable prewarming.
+
+The sampler's kernels take bucket-padded shapes that grow with the run
+(point block, neural-build compact, arena capacity, bound-stack pad). XLA
+compiles one executable per shape, so every bucket transition stalls the
+run while a family of executables is compiled or — with a warm persistent
+cache — deserialized from disk (~0.3-10 s each, ~50 s total on a 50-D
+run; measured in ROADMAP.md). All of that work is host CPU + disk and
+releases the GIL, so it can run on a daemon thread *one bucket ahead* of
+the foreground: call sites invoke :func:`submit_like` with the current
+call's real arguments plus a dim-substitution map, and the worker lowers
+and compiles the successor shape into the same jit executable cache the
+foreground will hit.
+
+Best-effort by design: any failure (signature drift, OOM-sized dummies)
+only means the foreground pays the load lazily, exactly as before.
+"""
+
+import atexit
+import queue
+import threading
+
+import jax
+import numpy as np
+
+_queue = queue.Queue()
+_seen = set()
+_lock = threading.Lock()
+_worker = None
+_stop = threading.Event()
+
+# Test/diagnostic counters.
+stats = {'submitted': 0, 'compiled': 0, 'failed': 0}
+
+
+def _run():
+    while not _stop.is_set():
+        try:
+            fn, args, kwargs = _queue.get(timeout=0.2)
+        except queue.Empty:
+            continue
+        if _stop.is_set():
+            break
+        try:
+            fn.lower(*args, **kwargs).compile()
+            stats['compiled'] += 1
+        except Exception:
+            stats['failed'] += 1
+
+
+@atexit.register
+def _shutdown():
+    # Joining here (instead of letting the daemon thread be killed
+    # mid-compile at interpreter teardown) avoids an XLA abort on exit;
+    # pending queue entries are dropped, the in-flight compile finishes.
+    _stop.set()
+    w = _worker
+    if w is not None and w.is_alive():
+        w.join(timeout=60)
+
+
+def _ensure_worker():
+    global _worker
+    with _lock:
+        if _worker is None or not _worker.is_alive():
+            _worker = threading.Thread(
+                target=_run, name='nautilus-prewarm', daemon=True)
+            _worker.start()
+
+
+def _sub_shape(shape, subs):
+    return tuple(subs.get(dim, dim) for dim in shape)
+
+
+def _to_sds(x, subs):
+    """Array-likes become ShapeDtypeStructs with substituted dims. Python
+    ints that name a bucket size themselves (static size arguments) are
+    substituted too; everything else passes through unchanged."""
+    if hasattr(x, 'shape') and hasattr(x, 'dtype'):
+        return jax.ShapeDtypeStruct(_sub_shape(np.shape(x), subs), x.dtype)
+    if type(x) is int and x in subs:
+        return subs[x]
+    return x
+
+
+def submit_like(fn, subs, *args, **kwargs):
+    """Prewarm ``fn`` at the shape obtained from ``args``/``kwargs`` by
+    replacing every occurrence of dimension ``old`` with ``subs[old]``.
+
+    ``fn`` must be a ``jax.jit``-wrapped callable (anything with
+    ``.lower``). Dedupes on the substituted aval signature, so call sites
+    can invoke this unconditionally on every call.
+    """
+    if not hasattr(fn, 'lower'):
+        return
+    try:
+        sds_args = jax.tree.map(lambda x: _to_sds(x, subs), tuple(args))
+        sds_kwargs = jax.tree.map(lambda x: _to_sds(x, subs), kwargs)
+        key = (id(fn), str(jax.tree.map(
+            lambda x: (x.shape, str(x.dtype))
+            if isinstance(x, jax.ShapeDtypeStruct) else x,
+            (sds_args, sds_kwargs))))
+    except Exception:
+        return
+    with _lock:
+        if key in _seen:
+            return
+        _seen.add(key)
+    stats['submitted'] += 1
+    _ensure_worker()
+    _queue.put((fn, sds_args, sds_kwargs))
+
+
+def next_bucket(size):
+    """The successor bucket of a power-of-two padding schedule."""
+    return int(size) * 2
+
+
+def pending():
+    """Number of jobs not yet processed (diagnostics)."""
+    return _queue.qsize()
