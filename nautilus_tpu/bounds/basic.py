@@ -365,9 +365,8 @@ class UnitCubeEllipsoidMixture:
         (reference control flow: nautilus/bounds/basic.py:496-528); if even
         the best ellipsoid exceeds the cube, grow the ellipsoid dimension
         set from empty instead (reference: basic.py:535-551)."""
-        n_blk = int(pts.shape[0])
-        prewarm.submit_like(_ucem_greedy_jit, {n_blk: 2 * n_blk}, pts,
-                            mask, enlarge_per_dim)
+        prewarm.submit_like(_ucem_greedy_jit, prewarm.current_hints(),
+                            pts, mask, enlarge_per_dim)
         vec = fetch(_ucem_greedy_jit(pts, mask, enlarge_per_dim),
                     np.float32)
         dim_cube = vec[-n_dim:] > 0.5
@@ -385,7 +384,7 @@ class UnitCubeEllipsoidMixture:
             log_v = 0.0
             n_packed = n_dim + 2 * n_dim * n_dim + 1
             prewarm.submit_like(_grow_candidates_jit,
-                                {n_blk: 2 * n_blk}, pts, mask,
+                                prewarm.current_hints(), pts, mask,
                                 jnp.asarray(np.ones(n_dim, bool)),
                                 enlarge_per_dim)
             while np.any(dim_cube):

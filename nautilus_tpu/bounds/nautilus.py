@@ -260,9 +260,8 @@ class NautilusBound:
         npm = int(n_points_min) if n_points_min is not None else d + 1
         with region('bound.prologue_dispatch'):
             key_a, key_b = bound.keys.next(), bound.keys.next()
-            n_blk = int(pts_dev.shape[0])
             prewarm.submit_like(
-                _bound_prologue_jit, {n_blk: 2 * n_blk}, pts_dev,
+                _bound_prologue_jit, prewarm.current_hints(), pts_dev,
                 log_l_dev, valid_dev, jnp.asarray(0.0, jnp.float32),
                 key_a, key_b, float(enlarge_per_dim), npm)
             packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(

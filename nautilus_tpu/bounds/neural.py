@@ -306,7 +306,8 @@ class NeuralBound:
 
     @classmethod
     def dispatch_build(cls, pts, log_l, above, valid, ell_stacked, mode_mask,
-                       m_pad, keys, n_networks, cfg, enlarge_per_dim):
+                       m_pad, keys, n_networks, cfg, enlarge_per_dim,
+                       prewarm_next=0):
         """Dispatch the fused builder WITHOUT fetching.
 
         Returns the (small, flat) device futures; callers merge the tiny
@@ -315,15 +316,19 @@ class NeuralBound:
         on device for the run-level bound stack.
         """
         mode_keys = keys.next_n(m_pad)
-        n_pts = int(pts.shape[0])
-        prewarm.submit_like(
-            _batched_build_jit, {n_pts: 2 * n_pts}, pts, log_l, above,
-            valid, ell_stacked, jnp.asarray(mode_mask), mode_keys,
-            sizes=cfg['sizes'], n_networks=n_networks,
-            batch_size=cfg['batch_size'], max_epochs=cfg['max_epochs'],
-            n_iter_no_change=cfg['n_iter_no_change'], lr=cfg['lr'],
-            alpha=cfg.get('alpha', 0.0),
-            enlarge_per_dim=float(enlarge_per_dim))
+        if prewarm_next:
+            # The caller saw the selected-point count closing in on the
+            # current compact bucket: compile the successor's builder (the
+            # largest program in the run) in the background now.
+            prewarm.submit_like(
+                _batched_build_jit, {int(pts.shape[0]): int(prewarm_next)},
+                pts, log_l, above, valid, ell_stacked,
+                jnp.asarray(mode_mask), mode_keys, sizes=cfg['sizes'],
+                n_networks=n_networks, batch_size=cfg['batch_size'],
+                max_epochs=cfg['max_epochs'],
+                n_iter_no_change=cfg['n_iter_no_change'], lr=cfg['lr'],
+                alpha=cfg.get('alpha', 0.0),
+                enlarge_per_dim=float(enlarge_per_dim))
         return _batched_build_jit(
             pts, log_l, above, valid, ell_stacked, jnp.asarray(mode_mask),
             mode_keys, sizes=cfg['sizes'], n_networks=n_networks,
@@ -388,8 +393,8 @@ class NeuralBound:
         m_pad = bucket_size(m, floor=1)
 
         ell_stacked, mode_mask = G.stack_ell_params(mode_params, m_pad)
-        n_blk = int(pts_dev.shape[0])
-        prewarm.submit_like(_mode_sel_jit, {n_blk: 2 * n_blk}, pts_dev,
+        hints = prewarm.current_hints()
+        prewarm.submit_like(_mode_sel_jit, hints, pts_dev,
                             valid_dev, ell_stacked, jnp.asarray(mode_mask))
         sel, n_sel_dev = _mode_sel_jit(pts_dev, valid_dev, ell_stacked,
                                        jnp.asarray(mode_mask))
@@ -397,9 +402,11 @@ class NeuralBound:
             n_sel = int(fetch(n_sel_dev))
         n_sel = max(int(n_sel), 1)
         size = bucket_size(n_sel, floor=4096)
-        for subs in ({n_blk: 2 * n_blk}, {size: 2 * size}):
-            prewarm.submit_like(_compact_sel_jit, subs, pts_dev,
-                                log_l_dev, above_dev, sel, size)
+        next_compact = 2 * size if n_sel > 3 * size // 4 else 0
+        if next_compact:
+            hints[size] = next_compact
+        prewarm.submit_like(_compact_sel_jit, hints, pts_dev,
+                            log_l_dev, above_dev, sel, size)
         pts_c, log_l_c, above_c, valid_c = _compact_sel_jit(
             pts_dev, log_l_dev, above_dev, sel, size)
 
@@ -424,7 +431,8 @@ class NeuralBound:
         cfg = cls._build_config(d, neural_network_kwargs)
         small, flat = cls.dispatch_build(
             pts_c, log_l_c, above_c, valid_c, ell_stacked, mode_mask,
-            m_pad, keys, n_networks, cfg, enlarge_per_dim)
+            m_pad, keys, n_networks, cfg, enlarge_per_dim,
+            prewarm_next=next_compact)
         small = fetch(small, np.float64)
         return cls.finish_build(
             small, flat, m, d, cfg, n_networks, keys), flat

@@ -147,7 +147,7 @@ class PointArena:
         10+ s per deserialized ``_grow_jit`` at 50-D; see ROADMAP.md)."""
         cap, nxt = self.capacity, self.capacity * 2
         prewarm.submit_like(_grow_jit, {}, self.d_pts, self.d_log_l,
-                            self.d_alive, self.d_shell, nxt)
+                            self.d_alive, self.d_shell, nxt, force=True)
         for size in self._sorted_sizes:
             prewarm.submit_like(_compact_sorted_jit, {cap: nxt},
                                 self.d_pts, self.d_log_l, self.d_alive,
@@ -249,7 +249,7 @@ class PointArena:
         assert self.device
         size = min(size, self.capacity)
         self._sorted_sizes.add(size)
-        if size * 2 <= self.capacity:
+        if size * 2 <= self.capacity and size in prewarm.current_hints():
             prewarm.submit_like(_compact_sorted_jit, {size: size * 2},
                                 self.d_pts, self.d_log_l, self.d_alive,
                                 size)

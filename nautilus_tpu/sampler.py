@@ -569,6 +569,11 @@ class Sampler:
                     # host.
                     n_alive = len(log_l)
                     size = bucket_size(n_alive, floor=2048)
+                    # Publish the imminent block-bucket transition for the
+                    # bound chain's prewarm hooks (cleared below).
+                    prewarm.set_hints(
+                        {size: 2 * size}
+                        if n_alive > 3 * size // 4 else {})
                     blk_pts, blk_log_l, blk_valid = \
                         self.arena.block_sorted(size)
                     points_above = None
@@ -671,6 +676,7 @@ class Sampler:
                             jnp.asarray(len(self.bounds), jnp.int32))
                     success = False
 
+        prewarm.set_hints({})
         if success:
             self.shell_n = np.append(self.shell_n, 0)
             self.shell_n_sample = np.append(self.shell_n_sample, 0)

@@ -83,15 +83,40 @@ def _to_sds(x, subs):
     return x
 
 
-def submit_like(fn, subs, *args, **kwargs):
+# Block-size hints published by the sampler's control loop (single
+# threaded) right before bound construction: {current_bucket: next_bucket}
+# when the live-point count is close enough to the bucket edge that the
+# next size is imminent, else {}. Block-shaped kernel call sites combine
+# these with their local substitutions so successor executables compile
+# only when they are about to be needed.
+_hints = {}
+
+
+def set_hints(hints):
+    """Publish imminent block-bucket transitions (sampler control loop)."""
+    global _hints
+    _hints = dict(hints)
+
+
+def current_hints():
+    """The published transition map (empty when nothing is imminent)."""
+    return dict(_hints)
+
+
+def submit_like(fn, subs, *args, force=False, **kwargs):
     """Prewarm ``fn`` at the shape obtained from ``args``/``kwargs`` by
     replacing every occurrence of dimension ``old`` with ``subs[old]``.
 
     ``fn`` must be a ``jax.jit``-wrapped callable (anything with
     ``.lower``). Dedupes on the substituted aval signature, so call sites
-    can invoke this unconditionally on every call.
+    can invoke this unconditionally on every call. ``force`` submits even
+    with no substitutions — for calls whose *static* arguments (not
+    shapes) name the successor, e.g. the arena grow kernel.
     """
-    if not hasattr(fn, 'lower'):
+    if (not subs and not force) or not hasattr(fn, 'lower'):
+        # An empty substitution map means "no imminent transition": the
+        # as-is shape is already compiled, and re-lowering it in the
+        # background would only burn host CPU against the foreground.
         return
     try:
         sds_args = jax.tree.map(lambda x: _to_sds(x, subs), tuple(args))
