@@ -21,6 +21,7 @@ from ..utils.bucket import bucket_size, pad_batch
 from ..utils.fetch import fetch, fetch_many, put_tree
 from ..utils.keys import KeyStream
 from ..utils import prewarm
+from ..utils.warmstore import warm_jit
 from .basic import Ellipsoid, UnitCubeEllipsoidMixture
 from .neural import NeuralBound
 from .periodic import PhaseShift
@@ -47,7 +48,7 @@ def _shift_block_jit(pts, vec):
     return jnp.mod(pts + vec, 1.0)
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+@partial(warm_jit, static_argnums=(6, 7))
 def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
                         enlarge_per_dim, n_points_min):
     """The whole data-independent prologue of bound construction in ONE

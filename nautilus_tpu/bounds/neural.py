@@ -19,10 +19,11 @@ from ..utils.fetch import fetch
 from ..utils.bucket import pad_points
 from ..utils.keys import KeyStream
 from ..utils import prewarm
+from ..utils.warmstore import warm_jit
 from .basic import Ellipsoid, unpack_ell
 
 
-@partial(jax.jit, static_argnames=(
+@partial(warm_jit, static_argnames=(
     'sizes', 'n_networks', 'batch_size', 'max_epochs', 'n_iter_no_change',
     'enlarge_per_dim'))
 def _batched_build_jit(points, log_l, above, valid, mode_ells, mode_mask,

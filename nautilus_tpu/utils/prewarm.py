@@ -36,13 +36,13 @@ stats = {'submitted': 0, 'compiled': 0, 'failed': 0}
 def _run():
     while not _stop.is_set():
         try:
-            fn, args, kwargs = _queue.get(timeout=0.2)
+            job = _queue.get(timeout=0.2)
         except queue.Empty:
             continue
         if _stop.is_set():
             break
         try:
-            fn.lower(*args, **kwargs).compile()
+            job()
             stats['compiled'] += 1
         except Exception:
             stats['failed'] += 1
@@ -133,7 +133,23 @@ def submit_like(fn, subs, *args, force=False, **kwargs):
         _seen.add(key)
     stats['submitted'] += 1
     _ensure_worker()
-    _queue.put((fn, sds_args, sds_kwargs))
+    _queue.put(lambda: fn.lower(*sds_args, **sds_kwargs).compile())
+
+
+def submit_job(job):
+    """Queue an arbitrary background task on the prewarm worker (e.g. the
+    warmstore's export+serialize writes)."""
+    stats['submitted'] += 1
+    _ensure_worker()
+    _queue.put(job)
+
+
+def _to_sds_identity(x):
+    """Array-likes to ShapeDtypeStructs with unchanged dims (export
+    tracing needs only avals); everything else passes through."""
+    if hasattr(x, 'shape') and hasattr(x, 'dtype'):
+        return jax.ShapeDtypeStruct(tuple(np.shape(x)), x.dtype)
+    return x
 
 
 def next_bucket(size):
