@@ -13,11 +13,31 @@ min(200, n), per-epoch shuffling, and early stopping after 10 epochs without
 strict improvement of the epoch loss (reference: nautilus/neural.py:79-81).
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_trainer_enabled():
+    """Opt-in (``NAUTILUS_TPU_PALLAS_TRAINER=1``): run epochs through the
+    fused Pallas kernel (ops/pallas_kernels.py train_epoch_pallas).
+
+    Measured on the benchmark TPU (ROADMAP.md "trainer"): the kernel
+    exactly matches the XLA scan path (0.72 vs 0.70 ms/epoch at the
+    quickstart shapes, 2.05 vs 2.02 at the 50-D shapes) — the epoch is
+    bound by ~240 serially-dependent small-matmul issue latencies, not
+    by HBM traffic or per-op overhead, so keeping weights resident in
+    VMEM buys nothing. The XLA path stays default; the kernel remains as
+    the measured probe and an alternative backend."""
+    if os.environ.get('NAUTILUS_TPU_PALLAS_TRAINER', '') != '1':
+        return False
+    if jax.default_backend() != 'tpu':
+        return False
+    from . import pallas_kernels
+    return pallas_kernels.HAS_PALLAS
 
 
 class MLPParams(NamedTuple):
@@ -161,6 +181,35 @@ def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
         epoch_loss = loss_sum / jnp.maximum(n_valid, 1.0)
         return p, m, v, t, epoch_loss
 
+    use_pallas = _pallas_trainer_enabled()
+    if use_pallas:
+        from .pallas_kernels import train_epoch_pallas
+
+    def pallas_epoch(params, m, v, t, epoch_keys):
+        """Whole-ensemble epoch through the fused kernel; identical
+        batch/update semantics to ``epoch_one_net``."""
+        def prep(k):
+            perm = jax.random.permutation(k, n_pad)
+            cut = n_batches * batch_size
+            return (x[perm][:cut].reshape(n_batches, batch_size, d),
+                    y[perm][:cut].reshape(n_batches, batch_size, 1),
+                    mask[perm][:cut].reshape(
+                        n_batches, batch_size, 1).astype(dtype))
+        xs, ys, ms_b = jax.vmap(prep)(epoch_keys)
+        n_layers = len(params.weights)
+        pf, mf, vf = [], [], []
+        for k in range(n_layers):
+            pf += [params.weights[k], params.biases[k]]
+            mf += [m.weights[k], m.biases[k]]
+            vf += [v.weights[k], v.biases[k]]
+        npf, nmf, nvf, nt, loss_sum = train_epoch_pallas(
+            xs, ys, ms_b, pf, mf, vf, t.reshape(n_networks, 1),
+            lr, alpha)
+        unflat = lambda f: MLPParams(tuple(f[0::2]), tuple(f[1::2]))
+        losses = loss_sum.reshape(n_networks) / jnp.maximum(n_valid, 1.0)
+        return (unflat(npf), unflat(nmf), unflat(nvf),
+                nt.reshape(n_networks), losses)
+
     def cond(state):
         _, _, _, _, _, _, done, epoch, _ = state
         return jnp.logical_and(epoch < max_epochs, ~jnp.all(done))
@@ -169,8 +218,12 @@ def train_mlp_ensemble(x, y, mask, key, sizes, n_networks=4, batch_size=200,
         params, m, v, t, best, no_improve, done, epoch, ekey = state
         ekey, sub = jax.random.split(ekey)
         epoch_keys = jax.random.split(sub, n_networks)
-        new_params, new_m, new_v, new_t, losses = jax.vmap(
-            epoch_one_net)(params, m, v, t, epoch_keys)
+        if use_pallas:
+            new_params, new_m, new_v, new_t, losses = pallas_epoch(
+                params, m, v, t, epoch_keys)
+        else:
+            new_params, new_m, new_v, new_t, losses = jax.vmap(
+                epoch_one_net)(params, m, v, t, epoch_keys)
 
         # Only advance networks that are not done.
         keep = lambda old, new: jax.tree.map(
