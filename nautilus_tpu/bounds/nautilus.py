@@ -48,6 +48,13 @@ def _shift_block_jit(pts, vec):
     return jnp.mod(pts + vec, 1.0)
 
 
+@jax.jit
+def _above_jit(log_l, valid, log_l_min):
+    """Above-threshold mask over the full block (one compare; the fit
+    kernels use the compact fit block's own mask instead)."""
+    return valid & (log_l >= log_l_min)
+
+
 @partial(warm_jit, static_argnums=(6, 7))
 def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
                         enlarge_per_dim, n_points_min):
@@ -66,10 +73,7 @@ def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
     fused neural build can start before the host sees anything.
 
     Packed layout: [n_above | mode fit (d+2d^2+1) | child0 | child1 |
-    counts (2) | ucem fit (d+2d^2+1+d) | mc counters (2) | n_sel_root].
-    ``n_sel_root`` is the root-mode prefilter count — when mode finding
-    stays unimodal it lets the batched neural builder skip its own count
-    fetch.
+    counts (2) | ucem fit (d+2d^2+1+d) | mc counters (2)].
     """
     from .basic import ucem_greedy_params
     from .union import _gmm_labels
@@ -127,11 +131,9 @@ def _bound_prologue_jit(pts, log_l, valid, log_l_min, key_split, key_mc,
     zero = jnp.asarray(0, jnp.int32)
     mc = jax.lax.while_loop(mc_cond, mc_body, (zero, zero, zero))
 
-    n_sel_root = jnp.sum(
-        (G.ell_contains(p_mode, pts) & valid).astype(jnp.int32)).astype(f32)
     packed = jnp.concatenate([
         n_above[None], mode_vec, child_vec, counts, ucem_vec,
-        jnp.stack(mc[:2]).astype(f32), n_sel_root[None]])
+        jnp.stack(mc[:2]).astype(f32)])
     return packed, above, masks[0], masks[1], p_mode
 
 
@@ -224,7 +226,8 @@ class NautilusBound:
                        log_l_min, log_v_target, enlarge_per_dim=1.1,
                        n_points_min=None, split_threshold=100, periodic=None,
                        n_networks=4, neural_network_kwargs=None, keys=None,
-                       points_above=None, expect_modes=1, speculate=True):
+                       points_above=None, expect_modes=1, speculate=True,
+                       fit_block=None):
         """Device-block twin of :meth:`compute`.
 
         Consumes a compact device point block (typically the sampler's
@@ -248,11 +251,25 @@ class NautilusBound:
         bound.n_dim = d = int(pts_dev.shape[1])
         bound.keys = keys if keys is not None else KeyStream()
 
+        # ``fit_block`` (pts, log_l, valid): a compact block holding (at
+        # least) the above-threshold rows. All geometry fits, the GMM
+        # split attempt, and the MC volume counters run on it — on a long
+        # run the full history block is ~100x the live set, and masked
+        # fits over it waste exactly that factor. The full block is still
+        # used where the whole history matters: the training-point
+        # selection and the speculative compact.
+        if fit_block is None:
+            pts_fit, log_l_fit, valid_fit = pts_dev, log_l_dev, valid_dev
+        else:
+            pts_fit, log_l_fit, valid_fit = fit_block
+
         if periodic is not None:
             bound.shift = PhaseShift.compute(points_above, periodic)
-            pts_dev = _shift_block_jit(
-                pts_dev, jnp.asarray(bound.shift.shift_vector(d),
-                                     jnp.float32))
+            shift_vec = jnp.asarray(bound.shift.shift_vector(d),
+                                    jnp.float32)
+            pts_dev = _shift_block_jit(pts_dev, shift_vec)
+            pts_fit = (pts_dev if fit_block is None
+                       else _shift_block_jit(pts_fit, shift_vec))
         else:
             bound.shift = None
 
@@ -262,13 +279,16 @@ class NautilusBound:
         with region('bound.prologue_dispatch'):
             key_a, key_b = bound.keys.next(), bound.keys.next()
             prewarm.submit_like(
-                _bound_prologue_jit, prewarm.current_hints(), pts_dev,
-                log_l_dev, valid_dev, jnp.asarray(0.0, jnp.float32),
+                _bound_prologue_jit, prewarm.current_hints(), pts_fit,
+                log_l_fit, valid_fit, jnp.asarray(0.0, jnp.float32),
                 key_a, key_b, float(enlarge_per_dim), npm)
-            packed_dev, above, m0, m1, p_mode_dev = _bound_prologue_jit(
-                pts_dev, log_l_dev, valid_dev,
-                jnp.asarray(log_l_min, jnp.float32), key_a, key_b,
-                float(enlarge_per_dim), npm)
+            packed_dev, above_fit, m0, m1, p_mode_dev = \
+                _bound_prologue_jit(
+                    pts_fit, log_l_fit, valid_fit,
+                    jnp.asarray(log_l_min, jnp.float32), key_a, key_b,
+                    float(enlarge_per_dim), npm)
+            above = _above_jit(log_l_dev, valid_dev,
+                               jnp.asarray(log_l_min, jnp.float32))
 
         # Speculative fused neural build on the root mode, dispatched
         # before any fetch; the mode prefilter + compact + full training
@@ -304,11 +324,28 @@ class NautilusBound:
                 packed, spec_small, n_sel_spec = fetch_many(
                     packed_dev, spec[0], spec[2])
             packed = packed.astype(np.float64)
-            spec_fits = int(n_sel_spec) <= cls.SPEC_COMPACT
+            n_sel_root = int(n_sel_spec)
+            spec_fits = n_sel_root <= cls.SPEC_COMPACT
             bound.spec_overflow = not spec_fits
         else:
+            n_sel_dev0 = None
+            if n_networks > 0 and expect_modes <= 1:
+                # Unimodal-likely non-speculative path: count the root
+                # mode's selected points over the full block now so the
+                # batched builder can skip its own count fetch (joins the
+                # prologue fetch, no extra round trip).
+                from .neural import _mode_sel_jit
+                ell1 = jax.tree.map(lambda a: a[None], p_mode_dev)
+                _, n_sel_dev0 = _mode_sel_jit(
+                    pts_dev, valid_dev, ell1, jnp.ones(1, bool))
             with region('bound.prologue_fetch'):
-                packed = fetch(packed_dev, np.float64)
+                if n_sel_dev0 is not None:
+                    packed, n_sel_np = fetch_many(packed_dev, n_sel_dev0)
+                    n_sel_root = int(n_sel_np)
+                else:
+                    packed = fetch(packed_dev, np.float64)
+                    n_sel_root = None
+            packed = np.asarray(packed, np.float64)
             spec_fits = False
             bound.spec_overflow = False
 
@@ -327,7 +364,6 @@ class NautilusBound:
         ucem_vec = packed[off:off + n_packed + d]
         off += n_packed + d
         mc_tot, mc_acc = packed[off:off + 2].astype(int)
-        n_sel_root = int(packed[off + 2])
         dim_cube = ucem_vec[-d:] > 0.5
         outer_params0 = unpack_ell(ucem_vec[:-d], d, ~dim_cube, dim_cube)
         if float(outer_params0.log_v) > 0:
@@ -342,7 +378,8 @@ class NautilusBound:
         from .union import split_accept
         with region('bound.mode_union'):
             multi_ellipsoid = Union.compute_masked(
-                pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+                pts_fit, above_fit, n_above,
+                enlarge_per_dim=enlarge_per_dim,
                 n_points_min=n_points_min, bound_class=Ellipsoid,
                 keys=bound.keys, params0=mode_params0)
         split_ok = (
@@ -375,11 +412,13 @@ class NautilusBound:
                         n_networks=n_networks,
                         neural_network_kwargs=neural_network_kwargs,
                         keys=bound.keys,
-                        n_sel=n_sel_root if not split_ok else None)
+                        n_sel=(n_sel_root
+                               if not split_ok else None))
 
         with region('bound.outer_union'):
             bound.outer_bound = Union.compute_masked(
-                pts_dev, above, n_above, enlarge_per_dim=enlarge_per_dim,
+                pts_fit, above_fit, n_above,
+                enlarge_per_dim=enlarge_per_dim,
                 n_points_min=n_points_min,
                 bound_class=UnitCubeEllipsoidMixture, keys=bound.keys,
                 params0=outer_params0)

@@ -70,6 +70,17 @@ def _set_shell_jit(shell, ids, value):
 
 
 @partial(jax.jit, static_argnums=(3,))
+def _compact_top_jit(pts, log_l, alive, size):
+    """The ``size`` highest-log_l alive rows, ascending (the live set —
+    input to the bound-construction fit kernels, which only ever fit the
+    above-threshold subset; fitting over the full history block wastes
+    ~8x the FLOPs late in a long run)."""
+    key = jnp.where(alive, log_l, -jnp.inf)
+    order = jnp.argsort(key)[-size:]
+    return pts[order], log_l[order], alive[order]
+
+
+@partial(jax.jit, static_argnums=(3,))
 def _compact_sorted_jit(pts, log_l, alive, size):
     """Alive rows, ascending in log_l (ties by arena order), first ``size``
     rows. Dead/unused rows sort to the end (key = +inf) and are marked
@@ -254,6 +265,18 @@ class PointArena:
                                 self.d_pts, self.d_log_l, self.d_alive,
                                 size)
         return _compact_sorted_jit(
+            self.d_pts, self.d_log_l, self.d_alive, size)
+
+    def block_top(self, size):
+        """Compact block of the ``size`` highest-log_l alive rows,
+        ascending — the live set for the bound fit kernels."""
+        assert self.device
+        size = min(size, self.capacity)
+        if size in prewarm.current_hints():
+            prewarm.submit_like(_compact_top_jit, {size: size * 2},
+                                self.d_pts, self.d_log_l, self.d_alive,
+                                size)
+        return _compact_top_jit(
             self.d_pts, self.d_log_l, self.d_alive, size)
 
     # -------------------------------------------------------------- #

@@ -79,14 +79,28 @@ def ell_contains(params, points):
 
     r^2 < 1 over ellipsoid dims and 0 <= x < 1 over cube dims
     (reference: nautilus/bounds/basic.py:344-360, 594-617).
+
+    On TPU the frame matmul runs in bf16 with f32 accumulation: a bound
+    is a region *definition*, so any deterministic membership function
+    applied consistently across sampling, shell rejection, and MC volume
+    yields an unbiased evidence estimate — reduced precision only jitters
+    the region boundary (sampling efficiency, not correctness), and every
+    consumer of this function sees the identical bf16 region. The slack
+    absorbs the frame round-trip rounding so sampled boundary points pass
+    their own containment test at either precision.
     """
     dm = params.dim_mask.astype(points.dtype)
     xc = (points - params.c) * dm
-    y = xc @ params.B_inv.T
+    if jax.default_backend() == 'tpu':
+        y = jnp.dot(xc.astype(jnp.bfloat16),
+                    params.B_inv.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        slack = 3e-2
+    else:
+        y = xc @ params.B_inv.T
+        slack = 1e-4
     r2 = jnp.sum((y * dm) ** 2, axis=-1)
-    # Small slack absorbs f32 roundoff of the frame round trip so that
-    # sampled boundary points always pass their own containment test.
-    in_ell = r2 < 1.0 + 1e-4
+    in_ell = r2 < 1.0 + slack
     in_cube = jnp.all(
         jnp.where(params.dim_cube, (points >= 0) & (points < 1), True),
         axis=-1)
@@ -189,23 +203,32 @@ def union_sample_batch(stacked, member_mask, key, n_points, unit=True):
 
     Returns ``(points, accept)`` with shapes ((n_points, d), (n_points,)).
     """
-    k_pad = stacked.c.shape[0]
     key_m, key_s, key_a = jax.random.split(key, 3)
     logits = jnp.where(member_mask, stacked.log_v, -jnp.inf)
     member = jax.random.categorical(key_m, logits, shape=(n_points,))
 
-    member_keys = jax.random.split(key_s, k_pad)
-
-    def member_points(carry, inputs):
-        params, k_key, idx = inputs
-        x_k = ell_sample(params, k_key, n_points)
-        carry = jnp.where((member == idx)[:, None], x_k, carry)
-        return carry, None
-
+    # Per-point frames: gather the chosen member's affine geometry and
+    # apply ONE batched sample transform, instead of generating a full
+    # batch per member and selecting (k_pad x the RNG and matmul work —
+    # measured dominant in the 50-D own-bound gate).
     d = stacked.c.shape[1]
-    init = jnp.zeros((n_points, d), stacked.c.dtype)
-    points, _ = jax.lax.scan(
-        member_points, init, (stacked, member_keys, jnp.arange(k_pad)))
+    dtype = stacked.c.dtype
+    c_m = stacked.c[member]                 # (n, d)
+    b_m = stacked.B[member]                 # (n, d, d)
+    dm = stacked.dim_mask[member].astype(dtype)
+    cm = stacked.dim_cube[member].astype(dtype)
+    d_eff = jnp.maximum(jnp.sum(dm, axis=1), 1.0)
+
+    key_n, key_r, key_c = jax.random.split(key_s, 3)
+    z = jax.random.normal(key_n, (n_points, d), dtype) * dm
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(z ** 2, axis=-1, keepdims=True),
+                                1e-30))
+    r = jax.random.uniform(
+        key_r, (n_points, 1), dtype) ** (1.0 / d_eff[:, None])
+    y = z / norm * r
+    x = (jnp.einsum('nij,nj->ni', b_m, y) + c_m) * dm
+    u = jax.random.uniform(key_c, (n_points, d), dtype)
+    points = x + u * cm
 
     mult = union_multiplicity(stacked, member_mask, points)
     # A boundary sample can fail its own member's containment under f32;

@@ -169,7 +169,7 @@ def mc_volume_counters(stack, index, key, n_min, chunk, max_iters):
 
 def collect_shell_points(stack, index, key, n_target, chunk=2048,
                          eval_fn=None, max_iters=4096, need_member=True,
-                         shard_fn=None):
+                         shard_fn=None, compact=None):
     """Collect exactly ``n_target`` shell points in one device program.
 
     Runs the sampler's rejection loop (reference:
@@ -242,9 +242,9 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
         buf, blob_bufs, n_kept, n_cand, n_outer, n_self, it = state
         sub = jax.random.fold_in(key, it)
         if need_member:
-            points, outer_acc, self_acc, shell_acc, member = \
+            points, outer_acc, self_acc, shell_acc, shell_p, evaluable = \
                 sample_shell_batch(stack, index, sub, chunk,
-                                   shard_fn=shard_fn)
+                                   shard_fn=shard_fn, compact=compact)
         else:
             own = _slice_pytree(stack, index)
             points_s, outer_acc = G.union_sample_batch(
@@ -254,7 +254,8 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
             self_acc = outer_acc & _neural_contains(own.neural, points_s)
             points = jnp.mod(points_s - own.shift, 1.0)
             shell_acc = self_acc
-            member = jnp.zeros((b, chunk), bool)
+            shell_p = jnp.full(chunk, -1, jnp.int32)
+            evaluable = jnp.ones(chunk, bool)
 
         if eval_fn is not None:
             result = eval_fn(points)
@@ -271,13 +272,8 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
         missing = n_target - n_kept
         acc_i = shell_acc.astype(jnp.int32)
         csum = jnp.cumsum(acc_i)
-        use = (csum - acc_i) < missing
+        use = ((csum - acc_i) < missing) & evaluable
         kept = shell_acc & use
-
-        # Innermost earlier bound containing each candidate (-1 if none).
-        older = member & (jnp.arange(b) < index)[:, None]
-        shell_p = jnp.max(
-            jnp.where(older, jnp.arange(b)[:, None], -1), axis=0)
 
         pos = jnp.where(kept, n_kept + csum - 1, n_target + 1)
         rows = jnp.concatenate([
@@ -307,7 +303,7 @@ def collect_shell_points(stack, index, key, n_target, chunk=2048,
 def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
                    bound_log_v, blocked, n_batch, chunk, n_shell_min,
                    n_eff_target, max_batches, eval_fn, max_iters=4096,
-                   n_budget=None, shard_fn=None):
+                   n_budget=None, shard_fn=None, compact=None):
     """Drive the whole shell-filling ("sampling") phase on device.
 
     The reference's post-exploration loop (reference:
@@ -434,8 +430,9 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
         def in_body(s):
             ibuf, n_kept, n_cand, n_outer, n_self, it, bb = s
             sub = jax.random.fold_in(jax.random.fold_in(key, b), it)
-            points, outer_acc, self_acc, shell_acc, _ = sample_shell_batch(
-                stack, index, sub, chunk, shard_fn=shard_fn)
+            points, outer_acc, self_acc, shell_acc, _, evaluable = \
+                sample_shell_batch(stack, index, sub, chunk,
+                                   shard_fn=shard_fn, compact=compact)
             if eval_fn is not None:
                 result = eval_fn(points)
                 if isinstance(result, tuple):
@@ -448,7 +445,7 @@ def sampling_phase(stack, key, shell_n, shell_n_sample, m1, s1, m2, s2,
             missing = n_batch - n_kept
             acc_i = shell_acc.astype(jnp.int32)
             csum = jnp.cumsum(acc_i)
-            use = (csum - acc_i) < missing
+            use = ((csum - acc_i) < missing) & evaluable
             kept = shell_acc & use
             pos = jnp.where(kept, base + n_kept + csum - 1, cap + 1)
             rows = jnp.concatenate(
@@ -692,13 +689,26 @@ def exploration_phase(arena_pts, arena_log_l, arena_alive, arena_shell,
             state[0], state[1], state[2], state[11])
 
 
-def sample_shell_batch(stack, index, key, n_points, shard_fn=None):
+def sample_shell_batch(stack, index, key, n_points, shard_fn=None,
+                       compact=None):
     """One fused candidate batch for shell ``index``.
 
     Draws ``n_points`` candidates from bound ``index`` (a traced integer —
     one executable serves every shell), applies that bound's own neural
     rejection, and rejects candidates lying inside any later bound (the
     shell definition, reference: nautilus/sampler.py:790-801).
+
+    ``compact`` (static) bounds how many candidates see the full
+    bound-stack membership sweep: the sweep costs B_pad bound slots (each
+    a union containment plus an MLP ensemble) PER CANDIDATE, yet its
+    results only matter for candidates that already passed their own
+    bound's gate — 0.4% of draws on the 50-D benchmark. With ``compact``
+    set, the first ``compact`` self-accepted candidates (chunk order) are
+    gathered into a compact sub-batch, the matrix runs on that sub-batch
+    alone, and consumption stops at the ``compact``-th self-accept — an
+    admissible stopping rule, so all downstream counter-based MC
+    estimates stay unbiased; candidates past the cap are simply never
+    consumed (redrawn fresh next iteration).
 
     Returns
     -------
@@ -709,9 +719,12 @@ def sample_shell_batch(stack, index, key, n_points, shard_fn=None):
     self_accept : (n_points,) bool — also inside the bound's neural gate
         (= "delivered by bound.sample" in the reference's bookkeeping).
     shell_accept : (n_points,) bool — inside the shell (not in any later
-        bound).
-    member : (B, n_points) bool — full membership matrix (for shell
-        association on the host; dead-code-eliminated if unused).
+        bound); always False outside ``evaluable``.
+    shell_p : (n_points,) int32 — innermost EARLIER bound containing the
+        candidate, -1 if none (feeds transfer-point substitution; only
+        valid where ``evaluable``).
+    evaluable : (n_points,) bool — candidates whose shell membership was
+        computed; callers must restrict consumption (``use``) to these.
     """
     own = _slice_pytree(stack, index)
 
@@ -729,10 +742,30 @@ def sample_shell_batch(stack, index, key, n_points, shard_fn=None):
     self_accept = outer_accept & _neural_contains(own.neural, points_s)
     points = jnp.mod(points_s - own.shift, 1.0)
 
-    member = bound_contains_matrix(stack, points)
-    b = member.shape[0]
+    b = stack.bound_mask.shape[0]
+    bidx = jnp.arange(b)[:, None]
     later = (jnp.arange(b) > index)[:, None] & stack.bound_mask[:, None]
-    in_later = jnp.any(member & later, axis=0)
-    shell_accept = self_accept & ~in_later
 
-    return points, outer_accept, self_accept, shell_accept, member
+    if compact is None or compact >= n_points:
+        member = bound_contains_matrix(stack, points)
+        in_later = jnp.any(member & later, axis=0)
+        older = member & (jnp.arange(b) < index)[:, None]
+        shell_p = jnp.max(jnp.where(older, bidx, -1), axis=0)
+        evaluable = jnp.ones(n_points, bool)
+    else:
+        # Stable argsort puts self-accepted candidates first, preserving
+        # chunk order within each class.
+        take = jnp.argsort(~self_accept)[:compact]
+        member_sub = bound_contains_matrix(stack, points[take])
+        in_later_sub = jnp.any(member_sub & later, axis=0)
+        older_sub = member_sub & (jnp.arange(b) < index)[:, None]
+        shell_p_sub = jnp.max(
+            jnp.where(older_sub, bidx, -1), axis=0).astype(jnp.int32)
+        in_later = jnp.zeros(n_points, bool).at[take].set(in_later_sub)
+        shell_p = jnp.full(n_points, -1, jnp.int32).at[take].set(
+            shell_p_sub)
+        evaluable = jnp.cumsum(self_accept.astype(jnp.int32)) <= compact
+
+    shell_accept = self_accept & ~in_later & evaluable
+    return (points, outer_accept, self_accept, shell_accept, shell_p,
+            evaluable)

@@ -394,7 +394,7 @@ class Sampler:
                 d = self.n_dim
                 f32 = np.float32
                 e_nets = max(self.n_networks, 1)
-                k_pad, m_pad, b_pad = 16, 1, 32
+                k_pad, m_pad, b_pad = 4, 1, 32
                 sizes = self._mlp_sizes()
                 n_layers = len(sizes) - 1
                 key = self.keys.key_at(0)
@@ -576,6 +576,13 @@ class Sampler:
                         if n_alive > 3 * size // 4 else {})
                     blk_pts, blk_log_l, blk_valid = \
                         self.arena.block_sorted(size)
+                    # Compact live-set block for the fit kernels (the
+                    # full history block is only needed for training
+                    # selection; see compute_device's fit_block).
+                    n_above_h = int(np.sum(log_l >= log_l_min))
+                    size_fit = bucket_size(n_above_h, floor=2048)
+                    fit_block = (self.arena.block_top(size_fit)
+                                 if size_fit < size else None)
                     points_above = None
                     if self.periodic is not None:
                         all_pts = self.arena.rows(np.concatenate(self.idx))
@@ -596,7 +603,8 @@ class Sampler:
                         neural_network_kwargs=self.neural_network_kwargs,
                         keys=self.keys, points_above=points_above,
                         expect_modes=expect_modes,
-                        speculate=not self._spec_overflowed)
+                        speculate=not self._spec_overflowed,
+                        fit_block=fit_block)
                     if getattr(bound, 'spec_overflow', False):
                         # This run's selected point sets outgrow the
                         # speculative compact; later builds skip the
@@ -839,7 +847,7 @@ class Sampler:
             # geometry-only union axis and the bound axis keep high floors
             # (a typical run crosses 8 bounds, and re-bucketing the bound
             # axis would recompile every phase executable mid-run).
-            k_pad = bucket_size(k_max, floor=16)
+            k_pad = bucket_size(k_max, floor=4)
             m_pad = bucket_size(m_max, floor=1)
             b_pad = bucket_size(len(self.bounds), floor=32)
 
@@ -891,6 +899,11 @@ class Sampler:
             b_pad = int(stack.bound_mask.shape[0])
             if len(self.bounds) >= b_pad - 1:
                 subs[b_pad] = 2 * b_pad
+            k_pad = int(stack.outer_mask.shape[1])
+            k_max = max([1] + [len(b.outer_bound.params_list)
+                               for b in self.bounds[1:]])
+            if k_max >= k_pad:
+                subs[k_pad] = 2 * k_pad
         return subs
 
     def _stack_insert(self, index, bound):
@@ -938,7 +951,7 @@ class Sampler:
     # regime reachable while still bounding a truly empty shell to device
     # minutes.
     MAX_COLLECT_ITERS = 65536
-    PHASE_MAX_BATCHES = 8
+    PHASE_MAX_BATCHES = 32
 
     def _device_eval_fn(self):
         """Traceable prior transform + likelihood (None on host paths)."""
@@ -1037,7 +1050,8 @@ class Sampler:
         transfer candidate exists.
         """
         fns = self._step_fns()
-        name = 'fused_{}'.format(need_member)
+        compact = self._membership_compact() if need_member else None
+        name = 'fused_{}_{}'.format(need_member, compact)
         with _STEP_FN_LOCK:
             if name not in fns:
                 eval_fn = self._device_eval_fn()
@@ -1051,10 +1065,39 @@ class Sampler:
                     return collect_shell_points(
                         stack, index, key, n_target, chunk=chunk,
                         eval_fn=eval_fn, max_iters=max_iters,
-                        need_member=need_member, shard_fn=shard_fn)
+                        need_member=need_member, shard_fn=shard_fn,
+                        compact=compact)
 
                 fns[name] = step
             return fns[name]
+
+    def _membership_compact(self):
+        """Static tier bounding the membership-sweep sub-batch per chunk.
+
+        The bound-stack membership matrix costs B_pad slot evaluations
+        per candidate but only matters for candidates accepted by their
+        own bound — 0.4% of draws on the 50-D benchmark. The tier is
+        chosen from the CHECKPOINTED per-bound acceptance counters (so a
+        resumed run picks the same executables) with an 8x headroom over
+        the observed self-acceptance; ``None`` means the full chunk (no
+        compaction, e.g. the quickstart's ~40% acceptance).
+        """
+        chunk = self.SHELL_BATCH
+        n_sample = sum(b.n_sample for b in self.bounds[1:])
+        n_reject = sum(b.n_reject for b in self.bounds[1:])
+        n_outer_s = sum(b.outer_bound.n_sample for b in self.bounds[1:]
+                        if b.outer_bound is not None)
+        n_outer_r = sum(b.outer_bound.n_reject for b in self.bounds[1:]
+                        if b.outer_bound is not None)
+        if n_outer_s < 16 * chunk:
+            return None  # too little evidence; stay exact-full
+        outer_rate = max(1.0 - n_outer_r / max(n_outer_s, 1), 0.0)
+        neural_rate = max(1.0 - n_reject / max(n_sample, 1), 0.0)
+        need = 8.0 * outer_rate * neural_rate * chunk
+        for tier in (chunk // 8, chunk // 2):
+            if need <= tier:
+                return tier
+        return None
 
     def _need_member(self, index):
         """Whether a collect dispatch needs the full membership matrix."""
@@ -1064,8 +1107,10 @@ class Sampler:
     def _phase_step(self):
         """Compiled whole-phase driver (see ops.shell_stack.sampling_phase)."""
         fns = self._step_fns()
+        compact = self._membership_compact()
+        name = 'phase_{}'.format(compact)
         with _STEP_FN_LOCK:
-            if 'phase' not in fns:
+            if name not in fns:
                 eval_fn = self._device_eval_fn()
                 shard_fn = self._shard_points_fn()
                 n_batch = self.n_batch
@@ -1082,10 +1127,10 @@ class Sampler:
                         bound_log_v, blocked, n_batch, chunk, n_shell_min,
                         n_eff_target, max_batches, eval_fn,
                         max_iters=max_iters, n_budget=n_budget,
-                        shard_fn=shard_fn)
+                        shard_fn=shard_fn, compact=compact)
 
-                fns['phase'] = phase
-            return fns['phase']
+                fns[name] = phase
+            return fns[name]
 
     def _batch_budget(self, n_like_max):
         """Batches allowed before ``n_like`` reaches ``n_like_max`` —
@@ -1155,7 +1200,8 @@ class Sampler:
             np.float32(n_eff_target), self._batch_budget(n_like_max))
         prewarm.submit_like(phase_fn, self._prewarm_subs(stack),
                             *phase_args)
-        out = phase_fn(*phase_args)
+        with prof_region('sample.phase_dispatch'):
+            out = phase_fn(*phase_args)
         # Two-step fetch: metadata first (tiny), then only the
         # log-likelihoods of the rows the phase actually filled — the
         # coordinates go straight from the phase buffer into the device
@@ -1164,8 +1210,9 @@ class Sampler:
         # Single transfer: counters plus the full log-likelihood column
         # and blob buffers (fetching everything costs one round trip; a
         # second prefix fetch would double the latency bill).
-        fetched = fetch_many(meta, n_used, _phase_log_l_col(buf_dev),
-                             *blob_devs)
+        with prof_region('sample.phase_fetch'):
+            fetched = fetch_many(meta, n_used, _phase_log_l_col(buf_dev),
+                                 *blob_devs)
         meta, n_used = fetched[0], int(fetched[1])
         log_l_full = fetched[2].astype(np.float64)
         blob_full = fetched[3:]
@@ -1330,14 +1377,16 @@ class Sampler:
             np.float32(f_live_target), self._batch_budget(n_like_max))
         prewarm.submit_like(explore_fn, self._prewarm_subs(stack),
                             *explore_args)
-        out = explore_fn(*explore_args)
+        with prof_region('sample.explore_dispatch'):
+            out = explore_fn(*explore_args)
         pts_a, log_l_a, alive_a, shell_a, log_l_buf, blob_bufs, meta, \
             n_used = out
         # One transfer for everything the host needs from this dispatch:
         # fetching the full (max_batches x n_batch) log-likelihood buffer
         # costs the same ~one round trip as fetching a prefix, and saves a
         # second sync per call on high-latency links.
-        fetched = fetch_many(meta, n_used, log_l_buf, *blob_bufs)
+        with prof_region('sample.explore_fetch'):
+            fetched = fetch_many(meta, n_used, log_l_buf, *blob_bufs)
         meta = fetched[0].astype(int)
         n_used = int(fetched[1])
         log_l_full = fetched[2].astype(np.float64)
@@ -1361,7 +1410,9 @@ class Sampler:
         n_rows = n_used * self.n_batch
         log_l_rows = log_l_full[:n_rows]
         blob_cols_all = tuple(b[:n_rows] for b in blob_full)
-        ids0 = self.arena.adopt(pts_a, log_l_a, alive_a, shell_a, n_rows)
+        with prof_region('sample.arena_adopt'):
+            ids0 = self.arena.adopt(pts_a, log_l_a, alive_a, shell_a,
+                                    n_rows)
         self.timing['sample'] += time() - t_start
 
         if self.filepath is not None and not Path(self.filepath).exists():
